@@ -106,13 +106,20 @@ class Gaussians:
             n = jnp.where(flip, -n, n)
         return n
 
-    def colors(self, campos: jax.Array) -> jax.Array:
-        """(N, 3) view-dependent RGB from SH toward camera position."""
+    def colors(self, campos: jax.Array, degree: Optional[int] = None) -> jax.Array:
+        """(N, 3) view-dependent RGB from SH toward camera position.
+
+        ``degree`` caps the active SH band (reference active_sh_degree);
+        bands above 3 are never evaluated, matching the CUDA rasterizer
+        which ignores degree-4 coefficients in SuGaR checkpoints.
+        """
+        deg = self.sh_degree if degree is None else degree
+        deg = min(deg, 3)
         dirs = self.xyz - campos[None, :]
         dirs = dirs / jnp.maximum(
             jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
         )
-        return sh_lib.sh_to_rgb(self.sh_degree, self.sh, dirs)
+        return sh_lib.sh_to_rgb(deg, self.sh, dirs)
 
     # ---- construction / editing ----------------------------------------------
 

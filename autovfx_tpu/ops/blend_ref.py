@@ -1,0 +1,125 @@
+"""Reference (pure-jnp) tile blend — differentiable via XLA autodiff.
+
+Parity target: ``cuda_rasterizer/forward.cu`` renderCUDA (:261-378),
+including the exact skip rules (power>0, alpha<1/255), the 0.99 alpha
+clamp, the ``test_T < 1e-4`` done-freeze, and the output semantics
+(color = C + T*bg, depth = alpha-weighted sum, alpha = 1-T).
+
+TPU-first re-design: the CUDA per-pixel sequential loop becomes a
+*segmented prefix-sum in log-transmittance space* over the depth-sorted
+duplicate list: logT_k = Σ_{j<k, same tile} log(1-α_j).  The done-freeze
+is exact because test_T is monotone within a segment, so the freeze mask
+is simply ``test_T < 1e-4`` per duplicate (see blend notes below).  The
+Pallas kernel (blend_pallas.py) computes the same quantities per tile
+with the prefix-sums done as lower-triangular matmuls on the MXU.
+
+Memory: O(K · 256) — intended for tests/small renders; production goes
+through the Pallas kernel which keeps tiles in VMEM.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from autovfx_tpu.ops.binning import BinnedSplats
+from autovfx_tpu.ops.projection import Splats2D, TILE
+
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4
+TILE_PIXELS = TILE * TILE
+
+
+class TileImages(NamedTuple):
+    color: jax.Array  # (T, 256, 3)
+    depth: jax.Array  # (T, 256)
+    alpha: jax.Array  # (T, 256)
+
+
+def _pixel_offsets():
+    p = jnp.arange(TILE_PIXELS, dtype=jnp.float32)
+    return p % TILE, p // TILE  # (256,), (256,)
+
+
+def compute_alpha(mean2d, conic, opacity, px, py):
+    """CUDA renderCUDA alpha semantics for (K,) splats × (K, P) pixels."""
+    dx = mean2d[:, 0:1] - px
+    dy = mean2d[:, 1:2] - py
+    power = (
+        -0.5 * (conic[:, 0:1] * dx * dx + conic[:, 2:3] * dy * dy)
+        - conic[:, 1:2] * dx * dy
+    )
+    alpha = jnp.minimum(ALPHA_MAX, opacity[:, None] * jnp.exp(power))
+    valid = (power <= 0.0) & (alpha >= ALPHA_MIN)
+    return jnp.where(valid, alpha, 0.0)
+
+
+def blend_tiles_ref(
+    binned: BinnedSplats,
+    mean2d: jax.Array,  # (K, 2) gathered, sorted
+    conic: jax.Array,  # (K, 3)
+    color: jax.Array,  # (K, 3)
+    opacity: jax.Array,  # (K,) — 0 for invalid slots
+    depth: jax.Array,  # (K,)
+) -> TileImages:
+    k = mean2d.shape[0]
+    n_tiles = binned.tile_start.shape[0]
+    tiles_x = binned.num_tiles_x
+
+    # Per-duplicate pixel coordinates of its tile.
+    ox = (binned.tile % tiles_x).astype(jnp.float32) * TILE
+    oy = (binned.tile // tiles_x).astype(jnp.float32) * TILE
+    px_off, py_off = _pixel_offsets()
+    px = ox[:, None] + px_off[None, :]  # (K, 256)
+    py = oy[:, None] + py_off[None, :]
+
+    alpha = compute_alpha(mean2d, conic, opacity, px, py)  # (K, 256)
+
+    # Segment bases: cumulative values at each duplicate's tile start.
+    seg_ids = jnp.clip(binned.tile, 0, n_tiles - 1)
+    starts = binned.tile_start[seg_ids]  # (K,)
+
+    def seg_exclusive(x):
+        cum = jnp.cumsum(x, axis=0)
+        exc = cum - x
+        base = jnp.where(
+            (starts > 0)[:, None], cum[jnp.maximum(starts - 1, 0)], 0.0
+        )
+        return exc - base
+
+    lg = jnp.log1p(-alpha)
+    log_t = seg_exclusive(lg)  # logT before each duplicate (raw)
+    test_t = jnp.exp(log_t) * (1.0 - alpha)
+    frozen = test_t < T_EPS  # monotone within a segment
+
+    alpha_hat = jnp.where(frozen, 0.0, alpha)
+    lg_hat = jnp.log1p(-alpha_hat)
+    log_t_hat = seg_exclusive(lg_hat)
+    w = alpha_hat * jnp.exp(log_t_hat)  # (K, 256)
+
+    seg = jnp.where(binned.valid, binned.tile, n_tiles)
+    tile_color = jax.ops.segment_sum(
+        w[:, :, None] * color[:, None, :], seg, num_segments=n_tiles + 1
+    )[:n_tiles]
+    tile_depth = jax.ops.segment_sum(
+        w * depth[:, None], seg, num_segments=n_tiles + 1
+    )[:n_tiles]
+    total_lg = jax.ops.segment_sum(lg_hat, seg, num_segments=n_tiles + 1)[
+        :n_tiles
+    ]
+    tile_alpha = 1.0 - jnp.exp(total_lg)
+    return TileImages(color=tile_color, depth=tile_depth, alpha=tile_alpha)
+
+
+def assemble_image(
+    tile_img: jax.Array, tiles_x: int, tiles_y: int, width: int, height: int
+) -> jax.Array:
+    """(T, 256, C?) tile buffers -> (H, W, C?) image (crop padded edge)."""
+    c_shape = tile_img.shape[2:]
+    img = tile_img.reshape((tiles_y, tiles_x, TILE, TILE) + c_shape)
+    img = jnp.swapaxes(img, 1, 2).reshape(
+        (tiles_y * TILE, tiles_x * TILE) + c_shape
+    )
+    return img[:height, :width]

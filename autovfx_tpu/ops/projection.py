@@ -1,0 +1,184 @@
+"""Per-Gaussian screen-space preprocess (differentiable, vectorized JAX).
+
+Parity target: ``cuda_rasterizer/forward.cu`` preprocessCUDA (:155-256),
+computeCov2D (:74-113), computeCov3D (:118-151) and ndc2Pix semantics.
+Everything here is plain jnp on (N, ...) arrays — the TPU-friendly shape:
+XLA fuses it into a handful of VPU loops, and autodiff provides the
+backward pass (replacing ``backward.cu`` computeCov2DCUDA/preprocessCUDA).
+
+Pixel convention: matches CUDA — ``pix = ((ndc+1)*S - 1)/2`` i.e. pixel
+centers at integer coordinates, ``mean2d = f * t_xy/t_z + c - 0.5``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from autovfx_tpu.core import sh as sh_lib
+from autovfx_tpu.core.cameras import Camera
+from autovfx_tpu.core.gaussians import Gaussians
+from autovfx_tpu.core.quaternion import quat_to_rotmat
+
+TILE = 16  # BLOCK_X = BLOCK_Y = 16 (config.h:16-17)
+NEAR_Z = 0.2  # in_frustum near cull (auxiliary.h)
+COV2D_DILATION = 0.3  # low-pass filter (forward.cu:110-111)
+
+
+class Splats2D(NamedTuple):
+    """Screen-space Gaussians, one slot per input Gaussian (masked)."""
+
+    mean2d: jax.Array  # (N, 2) pixel coords (CUDA convention)
+    conic: jax.Array  # (N, 3) inverse 2D covariance (a, b, c)
+    color: jax.Array  # (N, 3) RGB from SH
+    opacity: jax.Array  # (N,)
+    depth: jax.Array  # (N,) view-space z
+    radius: jax.Array  # (N,) int32 pixel radius (0 => culled)
+    tile_min: jax.Array  # (N, 2) int32 inclusive tile rect min (x, y)
+    tile_max: jax.Array  # (N, 2) int32 exclusive tile rect max (x, y)
+    tiles_touched: jax.Array  # (N,) int32 number of covered tiles
+
+
+def compute_cov3d(g: Gaussians, scaling_modifier: float = 1.0) -> jax.Array:
+    """(N, 6) packed upper-triangular world covariance [xx,xy,xz,yy,yz,zz]."""
+    rot = quat_to_rotmat(g.rotations)  # (N,3,3)
+    s = g.scales * scaling_modifier
+    m = rot * s[:, None, :]
+    cov = m @ jnp.swapaxes(m, -1, -2)
+    return jnp.stack(
+        [
+            cov[:, 0, 0],
+            cov[:, 0, 1],
+            cov[:, 0, 2],
+            cov[:, 1, 1],
+            cov[:, 1, 2],
+            cov[:, 2, 2],
+        ],
+        axis=-1,
+    )
+
+
+def preprocess(
+    g: Gaussians,
+    cam: Camera,
+    scaling_modifier: float = 1.0,
+    override_color: jax.Array | None = None,
+    sh_degree: int | None = None,
+    mean2d_offset: jax.Array | None = None,
+) -> Splats2D:
+    """Project all Gaussians to screen space.
+
+    ``mean2d_offset`` is an all-zeros (N, 2) array whose *gradient* gives the
+    screen-space position gradients used by densification (the reference's
+    ``screenspace_points`` trick, gaussian_renderer/__init__.py:91-96).
+    """
+    w, h = cam.width, cam.height
+    tiles_x = (w + TILE - 1) // TILE
+    tiles_y = (h + TILE - 1) // TILE
+
+    # View transform.
+    p_view = g.xyz @ jnp.swapaxes(cam.R, -1, -2) + cam.t  # (N, 3)
+    depth = p_view[:, 2]
+    in_front = depth > NEAR_Z
+
+    # 2D mean, CUDA pixel convention.
+    safe_z = jnp.where(in_front, depth, 1.0)
+    mean2d = jnp.stack(
+        [
+            cam.fx * p_view[:, 0] / safe_z + cam.cx - 0.5,
+            cam.fy * p_view[:, 1] / safe_z + cam.cy - 0.5,
+        ],
+        axis=-1,
+    )
+    if mean2d_offset is not None:
+        mean2d = mean2d + mean2d_offset
+
+    # EWA 2D covariance (computeCov2D).
+    tan_fovx = cam.tan_half_fovx
+    tan_fovy = cam.tan_half_fovy
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    tx = jnp.clip(p_view[:, 0] / safe_z, -limx, limx) * safe_z
+    ty = jnp.clip(p_view[:, 1] / safe_z, -limy, limy) * safe_z
+    tz = safe_z
+
+    cov3d = compute_cov3d(g, scaling_modifier)  # (N, 6)
+    c_xx, c_xy, c_xz, c_yy, c_yz, c_zz = (cov3d[:, i] for i in range(6))
+
+    # J rows (2x3): [fx/tz, 0, -fx*tx/tz^2], [0, fy/tz, -fy*ty/tz^2]
+    j00 = cam.fx / tz
+    j02 = -(cam.fx * tx) / (tz * tz)
+    j11 = cam.fy / tz
+    j12 = -(cam.fy * ty) / (tz * tz)
+
+    # M = J @ W (2x3), W = w2c rotation.
+    R = cam.R
+    m0 = j00[:, None] * R[0] + j02[:, None] * R[2]  # (N, 3)
+    m1 = j11[:, None] * R[1] + j12[:, None] * R[2]
+
+    # cov2d = M Σ M^T
+    def sigma_dot(v):  # Σ @ v, packed symmetric
+        return jnp.stack(
+            [
+                c_xx * v[:, 0] + c_xy * v[:, 1] + c_xz * v[:, 2],
+                c_xy * v[:, 0] + c_yy * v[:, 1] + c_yz * v[:, 2],
+                c_xz * v[:, 0] + c_yz * v[:, 1] + c_zz * v[:, 2],
+            ],
+            axis=-1,
+        )
+
+    s_m0 = sigma_dot(m0)
+    s_m1 = sigma_dot(m1)
+    cov_a = jnp.sum(m0 * s_m0, axis=-1) + COV2D_DILATION
+    cov_b = jnp.sum(m0 * s_m1, axis=-1)
+    cov_c = jnp.sum(m1 * s_m1, axis=-1) + COV2D_DILATION
+
+    det = cov_a * cov_c - cov_b * cov_b
+    det_ok = det != 0.0
+    safe_det = jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack(
+        [cov_c / safe_det, -cov_b / safe_det, cov_a / safe_det], axis=-1
+    )
+
+    # Screen-space extent (forward.cu:214-221).
+    mid = 0.5 * (cov_a + cov_c)
+    lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(lambda1))
+
+    valid = in_front & det_ok
+    radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+
+    # Tile rect (getRect, auxiliary.h).
+    px = mean2d[:, 0]
+    py = mean2d[:, 1]
+    rmin_x = jnp.clip(((px - radius_f) / TILE).astype(jnp.int32), 0, tiles_x)
+    rmin_y = jnp.clip(((py - radius_f) / TILE).astype(jnp.int32), 0, tiles_y)
+    rmax_x = jnp.clip(
+        ((px + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_x
+    )
+    rmax_y = jnp.clip(
+        ((py + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_y
+    )
+    area = (rmax_x - rmin_x) * (rmax_y - rmin_y)
+    valid = valid & (area > 0) & g.active
+    area = jnp.where(valid, area, 0)
+    radius = jnp.where(valid, radius, 0)
+
+    # Color from SH toward the camera (forward.cu computeColorFromSH).
+    if override_color is not None:
+        color = override_color
+    else:
+        color = g.colors(cam.center, degree=sh_degree)
+
+    return Splats2D(
+        mean2d=mean2d,
+        conic=conic,
+        color=color,
+        opacity=jnp.where(valid, g.opacity, 0.0),
+        depth=depth,
+        radius=radius,
+        tile_min=jnp.stack([rmin_x, rmin_y], axis=-1),
+        tile_max=jnp.stack([rmax_x, rmax_y], axis=-1),
+        tiles_touched=area.astype(jnp.int32),
+    )

@@ -1,0 +1,169 @@
+"""Public differentiable Gaussian-splat rasterizer.
+
+Drop-in equivalent of the reference CUDA extension's autograd wrapper
+(``diff_gaussian_rasterization/__init__.py:92-158``: returns color,
+depth, alpha, radii) and of ``gaussian_renderer.render()``
+(:83-218: RGBA + depth + normal + pseudo-normal dict).
+
+Pipeline (all under one jit):
+  preprocess (projection.py, autodiff) → bin_splats (binning.py, integer)
+  → gather (autodiff: VJP is the segment-sum scatter that replaces the
+  CUDA backward's atomicAdd) → blend (blend_ref.py on CPU / tests,
+  blend_pallas.py on TPU).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from autovfx_tpu.core.cameras import Camera
+from autovfx_tpu.core.gaussians import Gaussians
+from autovfx_tpu.ops import binning, blend_ref, projection
+
+
+@flax.struct.dataclass
+class RasterConfig:
+    dup_budget: int = flax.struct.field(pytree_node=False, default=1 << 20)
+    backend: str = flax.struct.field(pytree_node=False, default="auto")
+    scaling_modifier: float = flax.struct.field(pytree_node=False, default=1.0)
+    sh_degree: Optional[int] = flax.struct.field(pytree_node=False, default=None)
+
+
+class RenderOutput(NamedTuple):
+    color: jax.Array  # (H, W, 3) — includes T*bg like the CUDA kernel
+    depth: jax.Array  # (H, W) alpha-weighted view-space depth (unnormalized)
+    alpha: jax.Array  # (H, W) 1 - final transmittance
+    radii: jax.Array  # (N,) int32 screen radius; 0 = culled
+    overflow: jax.Array  # () bool — duplicate budget exceeded
+
+
+def _select_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    return "pallas" if jax.default_backend() == "tpu" else "ref"
+
+
+def rasterize(
+    g: Gaussians,
+    cam: Camera,
+    bg: jax.Array | None = None,
+    config: RasterConfig = RasterConfig(),
+    override_color: jax.Array | None = None,
+    mean2d_offset: jax.Array | None = None,
+) -> RenderOutput:
+    """Render Gaussians through one camera.
+
+    ``mean2d_offset``: optional zeros (N, 2); differentiate w.r.t. it to get
+    screen-space position gradients for densification (the reference's
+    ``screenspace_points`` trick).
+    """
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+
+    splats = projection.preprocess(
+        g,
+        cam,
+        scaling_modifier=config.scaling_modifier,
+        override_color=override_color,
+        sh_degree=config.sh_degree,
+        mean2d_offset=mean2d_offset,
+    )
+    binned = binning.bin_splats(
+        splats, cam.width, cam.height, config.dup_budget
+    )
+
+    # Gather per-duplicate features (differentiable; VJP = segment-sum).
+    gid = binned.gid
+    opacity = jnp.where(binned.valid, splats.opacity[gid], 0.0)
+    mean2d = splats.mean2d[gid]
+    conic = splats.conic[gid]
+    color = splats.color[gid]
+    depth = splats.depth[gid]
+
+    backend = _select_backend(config.backend)
+    if backend == "pallas":
+        from autovfx_tpu.ops import blend_pallas
+
+        tiles = blend_pallas.blend_tiles_pallas(
+            binned, mean2d, conic, color, opacity, depth
+        )
+    else:
+        tiles = blend_ref.blend_tiles_ref(
+            binned, mean2d, conic, color, opacity, depth
+        )
+
+    tx, ty = binned.num_tiles_x, binned.num_tiles_y
+    img_color = blend_ref.assemble_image(
+        tiles.color, tx, ty, cam.width, cam.height
+    )
+    img_depth = blend_ref.assemble_image(
+        tiles.depth, tx, ty, cam.width, cam.height
+    )
+    img_alpha = blend_ref.assemble_image(
+        tiles.alpha, tx, ty, cam.width, cam.height
+    )
+    img_color = img_color + (1.0 - img_alpha)[..., None] * bg
+
+    return RenderOutput(
+        color=img_color,
+        depth=img_depth,
+        alpha=img_alpha,
+        radii=splats.radius,
+        overflow=binned.overflow,
+    )
+
+
+class RenderDict(NamedTuple):
+    """Full reference-render bundle (gaussian_renderer.render parity)."""
+
+    rgba: jax.Array  # (H, W, 4)
+    depth: jax.Array  # (H, W)
+    normal: jax.Array  # (H, W, 3) normalized
+    radii: jax.Array  # (N,)
+    overflow: jax.Array
+
+
+def render(
+    g: Gaussians,
+    cam: Camera,
+    bg: jax.Array | None = None,
+    config: RasterConfig = RasterConfig(),
+    with_normal: bool = True,
+    mean2d_offset: jax.Array | None = None,
+) -> RenderDict:
+    """RGBA + depth + normal render matching gaussian_renderer.render().
+
+    The normal image is a second rasterization pass with per-Gaussian
+    normals (min-scale axis, viewer-facing) encoded as colors
+    (gaussian_renderer/__init__.py:166-194).
+    """
+    out = rasterize(
+        g, cam, bg=bg, config=config, mean2d_offset=mean2d_offset
+    )
+    rgba = jnp.concatenate([out.color, out.alpha[..., None]], axis=-1)
+    if with_normal:
+        dirs = g.xyz - cam.center[None, :]
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+        )
+        normals01 = g.normals(view_dirs=dirs) * 0.5 + 0.5
+        n_out = rasterize(
+            g, cam, bg=None, config=config, override_color=normals01
+        )
+        normal = (n_out.color - 0.5) * 2.0
+        normal = normal / jnp.maximum(
+            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12
+        )
+    else:
+        normal = jnp.zeros_like(out.color)
+    return RenderDict(
+        rgba=rgba,
+        depth=out.depth,
+        normal=normal,
+        radii=out.radii,
+        overflow=out.overflow,
+    )

@@ -1,0 +1,194 @@
+"""Rasterizer correctness vs the brute-force CUDA-semantics oracle,
+plus gradient and edge-case tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from autovfx_tpu.core.gaussians import Gaussians
+from autovfx_tpu.ops import binning, projection
+from autovfx_tpu.ops.rasterize import RasterConfig, rasterize, render
+from autovfx_tpu.utils.synthetic import make_scene
+
+from oracle import oracle_render
+
+CFG = RasterConfig(dup_budget=1 << 15, backend="ref")
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(n=300, width=64, height=48, key=0)
+
+
+class TestForward:
+    def test_matches_oracle(self, scene):
+        g, cam = scene
+        bg = jnp.array([0.1, 0.2, 0.3])
+        out = jax.jit(
+            lambda g: rasterize(g, cam, bg=bg, config=CFG)
+        )(g)
+        assert not bool(out.overflow)
+        splats = projection.preprocess(g, cam)
+        oc, od, oa = oracle_render(splats, cam.width, cam.height, np.asarray(bg))
+        np.testing.assert_allclose(np.asarray(out.color), oc, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(out.depth), od, atol=3e-4)
+        np.testing.assert_allclose(np.asarray(out.alpha), oa, atol=3e-5)
+
+    def test_saturated_freeze_matches_oracle(self):
+        # Stack many near-opaque gaussians to trip the test_T < 1e-4 freeze.
+        n = 60
+        key = jax.random.PRNGKey(3)
+        g, cam = make_scene(n=n, width=32, height=32, key=3)
+        g = g.replace(
+            xyz=0.05 * jax.random.normal(key, (n, 3)),
+            opacity_logit=jnp.full((n,), 5.0),  # sigmoid ~ 0.993 -> clamp .99
+            log_scales=jnp.full((n, 3), np.log(0.3)),
+        )
+        out = rasterize(g, cam, config=CFG)
+        splats = projection.preprocess(g, cam)
+        oc, od, oa = oracle_render(splats, cam.width, cam.height, np.zeros(3))
+        np.testing.assert_allclose(np.asarray(out.color), oc, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(out.alpha), oa, atol=5e-5)
+        assert oa.max() > 0.999  # freeze path actually exercised
+
+    def test_empty_scene_is_background(self):
+        g, cam = make_scene(n=4, width=32, height=16)
+        g = g.replace(active=jnp.zeros((4,), bool))
+        bg = jnp.array([0.25, 0.5, 0.75])
+        out = rasterize(g, cam, bg=bg, config=CFG)
+        np.testing.assert_allclose(
+            np.asarray(out.color), np.broadcast_to(np.asarray(bg), (16, 32, 3)),
+            atol=1e-7,
+        )
+        np.testing.assert_allclose(np.asarray(out.alpha), 0.0, atol=1e-7)
+
+    def test_inactive_equals_compacted(self, scene):
+        g, cam = scene
+        # deactivate a random half
+        mask = np.zeros(g.capacity, bool)
+        mask[::2] = True
+        g_masked = g.replace(active=jnp.asarray(mask))
+        out1 = rasterize(g_masked, cam, config=CFG)
+        out2 = rasterize(g_masked.compact(), cam, config=CFG)
+        np.testing.assert_allclose(
+            np.asarray(out1.color), np.asarray(out2.color), atol=1e-5
+        )
+
+    def test_overflow_flag(self, scene):
+        g, cam = scene
+        out = rasterize(g, cam, config=RasterConfig(dup_budget=16, backend="ref"))
+        assert bool(out.overflow)
+
+    def test_behind_camera_culled(self):
+        g, cam = make_scene(n=8, width=32, height=16)
+        # move all gaussians behind the camera
+        eye = np.asarray(cam.center)
+        fwd = np.asarray(cam.R)[2]  # w2c row 2 = view dir in world
+        g = g.replace(xyz=jnp.asarray(eye[None] - 2.0 * fwd[None]).repeat(8, 0))
+        out = rasterize(g, cam, config=CFG)
+        assert np.asarray(out.radii).max() == 0
+        np.testing.assert_allclose(np.asarray(out.alpha), 0.0, atol=1e-7)
+
+
+class TestGradients:
+    def test_finite_difference_xyz_opacity(self):
+        g, cam = make_scene(n=20, width=24, height=16, key=1)
+        cfg = RasterConfig(dup_budget=1 << 12, backend="ref")
+        target = jax.random.uniform(jax.random.PRNGKey(9), (16, 24, 3))
+
+        def loss(xyz, op):
+            out = rasterize(
+                g.replace(xyz=xyz, opacity_logit=op), cam, config=cfg
+            )
+            return jnp.mean((out.color - target) ** 2)
+
+        lg = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        g_xyz, g_op = lg(g.xyz, g.opacity_logit)
+        assert np.isfinite(np.asarray(g_xyz)).all()
+        assert np.isfinite(np.asarray(g_op)).all()
+
+        # central differences on a few coordinates
+        rng = np.random.RandomState(0)
+        f = jax.jit(loss)
+        for _ in range(4):
+            i = rng.randint(0, 20)
+            j = rng.randint(0, 3)
+            eps = 3e-3
+            xp = g.xyz.at[i, j].add(eps)
+            xm = g.xyz.at[i, j].add(-eps)
+            fd = (float(f(xp, g.opacity_logit)) - float(f(xm, g.opacity_logit))) / (
+                2 * eps
+            )
+            an = float(np.asarray(g_xyz)[i, j])
+            assert abs(fd - an) < 2e-3 + 0.05 * abs(fd), (i, j, fd, an)
+
+        for _ in range(4):
+            i = rng.randint(0, 20)
+            eps = 1e-2
+            fd = (
+                float(f(g.xyz, g.opacity_logit.at[i].add(eps)))
+                - float(f(g.xyz, g.opacity_logit.at[i].add(-eps)))
+            ) / (2 * eps)
+            an = float(np.asarray(g_op)[i])
+            assert abs(fd - an) < 1e-4 + 0.05 * abs(fd), (i, fd, an)
+
+    def test_mean2d_offset_grad_nonzero(self):
+        g, cam = make_scene(n=30, width=24, height=16, key=2)
+        cfg = RasterConfig(dup_budget=1 << 12, backend="ref")
+        offs = jnp.zeros((30, 2))
+
+        def loss(offs):
+            out = rasterize(g, cam, config=cfg, mean2d_offset=offs)
+            return jnp.mean(out.color**2)
+
+        grad = jax.grad(loss)(offs)
+        assert np.isfinite(np.asarray(grad)).all()
+        assert np.abs(np.asarray(grad)).max() > 0
+
+
+class TestBinning:
+    def test_budget_exact(self):
+        g, cam = make_scene(n=100, width=48, height=32, key=4)
+        splats = projection.preprocess(g, cam)
+        need = int(binning.required_budget(splats))
+        binned = binning.bin_splats(splats, cam.width, cam.height, need)
+        assert not bool(binned.overflow)
+        assert int(binned.valid.sum()) == need
+        # every valid duplicate's tile is within range
+        t = np.asarray(binned.tile)[np.asarray(binned.valid)]
+        n_tiles = binned.num_tiles_x * binned.num_tiles_y
+        assert (t >= 0).all() and (t < n_tiles).all()
+
+    def test_tile_ranges_partition(self):
+        g, cam = make_scene(n=100, width=48, height=32, key=5)
+        splats = projection.preprocess(g, cam)
+        binned = binning.bin_splats(splats, cam.width, cam.height, 1 << 14)
+        start = np.asarray(binned.tile_start)
+        cnt = np.asarray(binned.tile_count)
+        tiles = np.asarray(binned.tile)
+        for t in range(len(start)):
+            seg = tiles[start[t] : start[t] + cnt[t]]
+            assert (seg == t).all()
+        assert cnt.sum() == int(binned.valid.sum())
+
+    def test_depth_sorted_within_tile(self):
+        g, cam = make_scene(n=200, width=48, height=32, key=6)
+        splats = projection.preprocess(g, cam)
+        binned = binning.bin_splats(splats, cam.width, cam.height, 1 << 14)
+        depth = np.asarray(splats.depth)[np.asarray(binned.gid)]
+        start = np.asarray(binned.tile_start)
+        cnt = np.asarray(binned.tile_count)
+        for t in range(len(start)):
+            seg = depth[start[t] : start[t] + cnt[t]]
+            assert (np.diff(seg) >= 0).all()
+
+
+class TestRenderDict:
+    def test_normal_render(self, scene):
+        g, cam = scene
+        out = render(g, cam, config=CFG)
+        assert out.rgba.shape == (cam.height, cam.width, 4)
+        n = np.asarray(out.normal)
+        norms = np.linalg.norm(n, axis=-1)
+        covered = np.asarray(out.rgba[..., 3]) > 0.5
+        np.testing.assert_allclose(norms[covered], 1.0, atol=1e-3)
