@@ -1,0 +1,281 @@
+"""Production TPU tile-blend kernel (Pallas).
+
+Parity target: ``cuda_rasterizer/forward.cu`` renderCUDA (:261-378) and
+``backward.cu`` renderCUDA (:416-599) — same skip rules, 0.99 clamp,
+test_T < 1e-4 done-freeze, and output semantics as blend_ref.py.
+
+TPU-first design (vs CUDA's one-thread-per-pixel sequential loop):
+- The per-(splat, pixel) Gaussian falloff is a *matmul*: power = Wᵀ B,
+  where W (6, CHUNK) holds per-splat quadratic coefficients in
+  tile-relative pixel coordinates and B (6, 256) is the fixed quadratic
+  pixel basis [1, x, y, x², xy, y²] of a 16×16 tile — MXU work.
+- Per-splat scalars (log-opacity) broadcast along pixels as rank-1
+  outer products with a ones row — no lane↔sublane transposes.
+- Front-to-back compositing becomes a prefix sum of log(1-α) along the
+  depth-sorted chunk, computed as a strictly-lower-triangular ones
+  matmul on the MXU (beats a VPU shift-ladder scan).
+- The CUDA early-stop (test_T < 1e-4 ⇒ done) is exact without a second
+  scan: test_T is monotone within a tile, so the frozen transmittance is
+  ``exc_hat = max(exc_raw, frozen_val)`` with a single masked reduction.
+- Chunks of 256 duplicates are double-buffer DMA'd from the HBM-resident
+  sorted splat buffer (transposed (16, K) layout so chunk slices are
+  lane-aligned); a tile exits its chunk loop once every pixel saturates
+  (the whole-tile analogue of CUDA's per-pixel ``done``).
+
+Feature packing (built in rasterize.py, differentiable JAX, so XLA
+autodiff chains dW → d(mean2d, conic, opacity) and the gather VJP's
+segment-sum replaces backward.cu's atomicAdd):
+  feat[0:6]  W coefficients        feat[7:10] rgb
+  feat[6]    log-opacity           feat[10]   view depth
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from autovfx_tpu.ops.binning import CHUNK, BinnedSplats
+from autovfx_tpu.ops.blend_ref import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    T_EPS,
+    TILE_PIXELS,
+    TileImages,
+)
+from autovfx_tpu.ops.projection import TILE
+
+FEAT = 16  # packed feature rows
+OUT_ROWS = 8  # [r, g, b, depth, alpha, 0, 0, 0]
+NEG_INF = -1e30
+LOG_OP_MIN = -100.0  # stand-in for log(0) on inert slots
+
+
+def _pixel_basis():
+    """(6, 256) quadratic basis over tile-local pixel coords."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
+    rx = (p % TILE).astype(jnp.float32)
+    ry = (p // TILE).astype(jnp.float32)
+    return jnp.concatenate(
+        [jnp.ones_like(rx), rx, ry, rx * rx, rx * ry, ry * ry], axis=0
+    )
+
+
+def _tri_strict():
+    """(CHUNK, CHUNK) strictly-lower-triangular ones (prefix-sum matmul)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (j < i).astype(jnp.float32)
+
+
+def _outer(row, ones_p):
+    """(1, C) per-splat scalars -> (C, P) broadcast via rank-1 matmul."""
+    return jax.lax.dot_general(
+        row,
+        ones_p,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _chunk_alpha(f, basis, ones_p):
+    """Shared fwd/bwd: per-chunk alpha (C, P) + raw power + masks."""
+    power = jax.lax.dot_general(
+        f[0:6],
+        basis,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (C, P)
+    lop = _outer(f[6:7], ones_p)
+    a_un = jnp.exp(power + lop)  # op * exp(power), fused
+    alpha = jnp.minimum(ALPHA_MAX, a_un)
+    ok = (power <= 0.0) & (alpha >= ALPHA_MIN)
+    alpha = jnp.where(ok, alpha, 0.0)
+    return alpha, a_un, ok
+
+
+def _fwd_kernel(tile_start_ref, tile_chunks_ref, feat_ref, out_ref, fbuf, sems):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    n_chunks = tile_chunks_ref[t]
+
+    basis = _pixel_basis()
+    tri = _tri_strict()
+    ones_p = jnp.ones((1, TILE_PIXELS), jnp.float32)
+
+    def chunk_dma(slot, c):
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            feat_ref.at[:, pl.ds(off, CHUNK)],
+            fbuf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def cond(state):
+        c, logT, done, acc = state
+        return (c < n_chunks) & (jnp.min(done) < 0.5)
+
+    def body(state):
+        c, logT, done, acc = state
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            chunk_dma(1 - slot, c + 1).start()
+
+        chunk_dma(slot, c).wait()
+        f = fbuf[slot]  # (FEAT, CHUNK)
+
+        alpha, _, _ = _chunk_alpha(f, basis, ones_p)
+        lg = jnp.log1p(-alpha)
+        exc = jax.lax.dot_general(
+            tri,
+            lg,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        exc_raw = exc + logT
+        cond_f = (jnp.exp(exc_raw) * (1.0 - alpha) < T_EPS) | (done > 0.5)
+        frozen = jnp.max(
+            jnp.where(cond_f, exc_raw, NEG_INF), axis=0, keepdims=True
+        )
+        exc_hat = jnp.maximum(exc_raw, frozen)
+        w = jnp.where(cond_f, 0.0, alpha) * jnp.exp(exc_hat)
+        contrib = jax.lax.dot_general(
+            f[7:11],
+            w,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (4, P)
+        acc = acc + jnp.concatenate(
+            [contrib, jnp.zeros((OUT_ROWS - 4, TILE_PIXELS), jnp.float32)],
+            axis=0,
+        )
+        logT_new = jnp.maximum(
+            logT + jnp.sum(lg, axis=0, keepdims=True), frozen
+        )
+        done_new = jnp.maximum(
+            done, jnp.max(cond_f.astype(jnp.float32), axis=0, keepdims=True)
+        )
+        return c + 1, logT_new, done_new, acc
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((1, TILE_PIXELS), jnp.float32),
+        jnp.zeros((1, TILE_PIXELS), jnp.float32),
+        jnp.zeros((OUT_ROWS, TILE_PIXELS), jnp.float32),
+    )
+    _, logT, _, acc = jax.lax.while_loop(cond, body, init)
+
+    alpha_row = 1.0 - jnp.exp(logT)  # (1, P)
+    row = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, 1), 0)
+    out_ref[0] = jnp.where(row == 4, alpha_row, acc)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _blend_core(feat, tile_start, tile_chunks, n_tiles):
+    return _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles)
+
+
+def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, OUT_ROWS, TILE_PIXELS),
+            lambda t, *_: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, OUT_ROWS, TILE_PIXELS), jnp.float32
+        ),
+        grid_spec=grid_spec,
+    )(tile_start, tile_chunks, feat)
+
+
+def _blend_fwd_rule(feat, tile_start, tile_chunks, n_tiles):
+    out = _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles)
+    return out, (feat, tile_start, tile_chunks)
+
+
+def _blend_bwd_rule(n_tiles, res, g_out):
+    from autovfx_tpu.ops.blend_pallas_bwd import blend_bwd_call
+
+    feat, tile_start, tile_chunks = res
+    d_feat = blend_bwd_call(feat, tile_start, tile_chunks, g_out, n_tiles)
+    return d_feat, None, None
+
+
+_blend_core.defvjp(_blend_fwd_rule, _blend_bwd_rule)
+
+
+def pack_features(binned: BinnedSplats, mean2d, conic, color, opacity, depth):
+    """Build the (16, K) packed, transposed feature buffer (differentiable).
+
+    Means are shifted to tile-local coordinates so the pixel basis is
+    tile-independent; opacity is stored as log so the kernel fuses it
+    into the falloff exponent.
+    """
+    tiles_x = binned.num_tiles_x
+    ox = (binned.tile % tiles_x).astype(jnp.float32) * TILE
+    oy = (binned.tile // tiles_x).astype(jnp.float32) * TILE
+    mx = mean2d[:, 0] - ox
+    my = mean2d[:, 1] - oy
+    ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
+
+    lop = jnp.where(
+        opacity > 0, jnp.log(jnp.maximum(opacity, 1e-37)), LOG_OP_MIN
+    )
+    k = mean2d.shape[0]
+    feat = jnp.stack(
+        [
+            -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my,
+            ca * mx + cb * my,
+            cb * mx + cc * my,
+            -0.5 * ca,
+            -cb,
+            -0.5 * cc,
+            lop,
+            color[:, 0],
+            color[:, 1],
+            color[:, 2],
+            depth,
+        ],
+        axis=0,
+    )  # (11, K)
+    return jnp.concatenate(
+        [feat, jnp.zeros((FEAT - feat.shape[0], k), jnp.float32)], axis=0
+    )
+
+
+def blend_tiles_pallas(
+    binned: BinnedSplats, mean2d, conic, color, opacity, depth
+) -> TileImages:
+    n_tiles = binned.num_tiles_x * binned.num_tiles_y
+    feat = pack_features(binned, mean2d, conic, color, opacity, depth)
+    out = _blend_core(
+        feat, binned.tile_start, binned.tile_chunks, n_tiles
+    )  # (T, 8, 256)
+    return TileImages(
+        color=jnp.moveaxis(out[:, 0:3, :], 1, 2),  # (T, 256, 3)
+        depth=out[:, 3, :],
+        alpha=out[:, 4, :],
+    )

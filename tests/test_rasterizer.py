@@ -76,7 +76,9 @@ class TestForward:
 
     def test_overflow_flag(self, scene):
         g, cam = scene
-        out = rasterize(g, cam, config=RasterConfig(dup_budget=16, backend="ref"))
+        out = rasterize(
+            g, cam, config=RasterConfig(dup_budget=binning.CHUNK, backend="ref")
+        )
         assert bool(out.overflow)
 
     def test_behind_camera_culled(self):
@@ -150,14 +152,21 @@ class TestBinning:
     def test_budget_exact(self):
         g, cam = make_scene(n=100, width=48, height=32, key=4)
         splats = projection.preprocess(g, cam)
-        need = int(binning.required_budget(splats))
+        need = int(binning.required_budget(splats, cam.width, cam.height))
+        need = binning.round_budget(need, slack=1.0)
         binned = binning.bin_splats(splats, cam.width, cam.height, need)
         assert not bool(binned.overflow)
-        assert int(binned.valid.sum()) == need
+        assert int(binned.valid.sum()) == int(binned.total_dups)
         # every valid duplicate's tile is within range
         t = np.asarray(binned.tile)[np.asarray(binned.valid)]
         n_tiles = binned.num_tiles_x * binned.num_tiles_y
         assert (t >= 0).all() and (t < n_tiles).all()
+        # chunk alignment invariants
+        start = np.asarray(binned.tile_start)
+        assert (start % binning.CHUNK == 0).all()
+        cnt = np.asarray(binned.tile_count)
+        chunks = np.asarray(binned.tile_chunks)
+        assert (chunks == -(-cnt // binning.CHUNK)).all()
 
     def test_tile_ranges_partition(self):
         g, cam = make_scene(n=100, width=48, height=32, key=5)
