@@ -179,7 +179,7 @@ class Gaussians:
             sh_rest=pad(self.sh_rest),
             log_scales=pad(self.log_scales),
             quats=pad(self.quats).at[n:, 0].set(1.0),
-            opacity_logit=pad(self.opacity_logit) - 10.0,
+            opacity_logit=pad(self.opacity_logit).at[n:].set(-10.0),
             active=jnp.concatenate(
                 [self.active, jnp.zeros((extra,), bool)], axis=0
             ),

@@ -1,0 +1,189 @@
+"""Rigid-body world: build from edit-IR objects, simulate, emit rb_transform.
+
+Parity target: the Blender rigid-body path of ``run_blender_render``
+(all_rendering.py:2211-2374 setup, :2380-2585 frame loop) and the
+``rb_transform`` schema written back into the edit-config JSON
+(:2560-2573 — per-object per-frame {pos, rot (xyz euler), scale}) that
+``scene_representation.render_from_3DGS`` replays (:357-371).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from autovfx_tpu.core.quaternion import quat_to_rotmat, rotmat_to_quat
+from autovfx_tpu.physics import solver as S
+from autovfx_tpu.physics.shapes import (
+    ConvexHullShape,
+    MeshGrid,
+    build_hulls,
+    build_mesh_grid,
+)
+
+
+class RigidWorld:
+    """Host-facing container; the heavy state lives in jittable pytrees."""
+
+    def __init__(
+        self,
+        shape: ConvexHullShape,
+        params: S.BodyParams,
+        init_state: S.BodyState,
+        grid: Optional[MeshGrid],
+        cfg: S.SolverConfig,
+        names: list[str],
+        scales: np.ndarray,
+        com_offsets: np.ndarray,
+    ):
+        self.shape = shape
+        self.params = params
+        self.state = init_state
+        self.grid = grid
+        self.cfg = cfg
+        self.names = names
+        self.scales = scales  # per-body uniform scale (for rb_transform)
+        self.com_offsets = com_offsets  # mesh-origin -> COM (world scale)
+
+    @classmethod
+    def from_objects(
+        cls,
+        objects: list[dict],
+        object_vertices: list[np.ndarray],
+        scene_vertices: Optional[np.ndarray] = None,
+        scene_faces: Optional[np.ndarray] = None,
+        cfg: S.SolverConfig = S.SolverConfig(),
+    ) -> "RigidWorld":
+        """Build from edit-IR object dicts (edit_utils.get_default_object_info
+        schema: pos, rot(euler xyz), scale, rigid_body{rb_type, mass,
+        restitution}) plus their mesh vertices (object local frame).
+        """
+        from autovfx_tpu.core.quaternion import euler_to_rotmat
+
+        b = len(objects)
+        hull_pts = []
+        poss, quats, scales = [], [], []
+        mass, rest, rb_type, enabled = [], [], [], []
+        names = []
+        for obj, verts in zip(objects, object_vertices):
+            s = float(obj.get("scale", 1.0))
+            hull_pts.append(np.asarray(verts) * s)
+            rot = np.asarray(
+                euler_to_rotmat(*[jnp.float32(r) for r in obj.get(
+                    "rot", [0.0, 0.0, 0.0])])
+            )
+            quats.append(np.asarray(rotmat_to_quat(jnp.asarray(rot))))
+            poss.append(np.asarray(obj.get("pos", [0.0, 0.0, 0.0]),
+                                   np.float32))
+            scales.append(s)
+            rb = obj.get("rigid_body") or {}
+            mass.append(float(rb.get("mass", 1.0)))
+            rest.append(float(rb.get("restitution", 0.6)))
+            t = str(rb.get("rb_type", "ACTIVE")).upper()
+            rb_type.append(
+                {"ACTIVE": S.RB_ACTIVE, "PASSIVE": S.RB_PASSIVE,
+                 "KINEMATIC": S.RB_KINEMATIC}[t]
+            )
+            enabled.append(bool(obj.get("allow_physics", True)))
+            names.append(obj.get("object_id", obj.get("object_name", "obj")))
+
+        shape, coms, vols, inertias = build_hulls(hull_pts)
+
+        # body state positions are COM positions: world_com = pos + R·com
+        poss = np.stack(poss)
+        quats_np = np.stack(quats)
+        rots = np.asarray(quat_to_rotmat(jnp.asarray(quats_np)))
+        world_com = poss + np.einsum("bij,bj->bi", rots, coms)
+
+        rb_type = np.array(rb_type, np.int32)
+        mass = np.array(mass, np.float32)
+        inv_mass = np.where(rb_type == S.RB_ACTIVE, 1.0 / mass, 0.0)
+
+        params = S.BodyParams(
+            mass=jnp.asarray(mass),
+            inv_mass=jnp.asarray(inv_mass.astype(np.float32)),
+            inertia_body=jnp.asarray(inertias),
+            restitution=jnp.asarray(np.array(rest, np.float32)),
+            friction=jnp.asarray(np.full((b,), 0.5, np.float32)),
+            rb_type=jnp.asarray(rb_type),
+            enabled=jnp.asarray(np.array(enabled)),
+        )
+        state = S.BodyState(
+            pos=jnp.asarray(world_com.astype(np.float32)),
+            quat=jnp.asarray(quats_np.astype(np.float32)),
+            linvel=jnp.zeros((b, 3)),
+            angvel=jnp.zeros((b, 3)),
+            asleep=jnp.zeros((b,), bool),
+            low_vel_count=jnp.zeros((b,), jnp.int32),
+        )
+        grid = None
+        if scene_vertices is not None:
+            grid = build_mesh_grid(scene_vertices, scene_faces)
+        return cls(
+            shape, params, state, grid, cfg, names,
+            np.array(scales, np.float32), coms.astype(np.float32),
+        )
+
+
+def simulate(world: RigidWorld, num_frames: int):
+    """Run the jitted frame loop; returns per-frame (pos, quat) plus the
+    final BodyState.  pos/quat are COM trajectories (F, B, ...)."""
+    cfg = world.cfg
+    shape, params, grid = world.shape, world.params, world.grid
+
+    @jax.jit
+    def run(state):
+        def frame(state, _):
+            def sub(s, _):
+                return S.substep(shape, s, params, grid, cfg), None
+
+            state, _ = jax.lax.scan(
+                sub, state, None, length=cfg.substeps_per_frame
+            )
+            return state, (state.pos, state.quat)
+
+        final, traj = jax.lax.scan(frame, state, None, length=num_frames)
+        return final, traj
+
+    final, (pos, quat) = run(world.state)
+    return final, np.asarray(pos), np.asarray(quat)
+
+
+def rb_transform_schema(
+    world: RigidWorld, pos: np.ndarray, quat: np.ndarray
+) -> dict:
+    """Emit the Blender rb_transform dict (all_rendering.py:2560-2573):
+    {object_id: {frame_idx(str): {pos, rot (xyz euler, radians), scale}}}.
+
+    Positions are converted back from COM to mesh-origin positions.
+    """
+    f, b = pos.shape[0], pos.shape[1]
+    rots = np.asarray(quat_to_rotmat(jnp.asarray(quat.reshape(-1, 4)))).reshape(
+        f, b, 3, 3
+    )
+    out = {}
+    for i, name in enumerate(world.names):
+        frames = {}
+        for t in range(f):
+            r = rots[t, i]
+            origin = pos[t, i] - r @ world.com_offsets[i]
+            # xyz euler from matrix (Blender convention)
+            sy = -r[2, 0]
+            cy = np.sqrt(max(1.0 - sy * sy, 0.0))
+            if cy > 1e-6:
+                rx = np.arctan2(r[2, 1], r[2, 2])
+                ry = np.arcsin(np.clip(sy, -1, 1))
+                rz = np.arctan2(r[1, 0], r[0, 0])
+            else:
+                rx = np.arctan2(-r[1, 2], r[1, 1])
+                ry = np.arcsin(np.clip(sy, -1, 1))
+                rz = 0.0
+            frames[str(t)] = {
+                "pos": [float(x) for x in origin],
+                "rot": [float(rx), float(ry), float(rz)],
+                "scale": [float(world.scales[i])] * 3,
+            }
+        out[name] = frames
+    return out
