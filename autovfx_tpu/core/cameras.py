@@ -93,7 +93,9 @@ class Camera:
 
     def project(self, points_world: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """World points (..., 3) -> pixel coords (..., 2) and view-space depth."""
-        p_cam = points_world @ jnp.swapaxes(self.R, -1, -2) + self.t
+        from autovfx_tpu.utils.linalg import transform_points
+
+        p_cam = transform_points(points_world, self.R, self.t)
         z = p_cam[..., 2]
         u = self.fx * p_cam[..., 0] / z + self.cx
         v = self.fy * p_cam[..., 1] / z + self.cy
@@ -114,7 +116,9 @@ class Camera:
             [(i - self.cx) / self.fx, (j - self.cy) / self.fy, jnp.ones_like(i)],
             axis=-1,
         )
-        return dirs_cam @ self.R  # == dirs_cam @ (R^T)^T = c2w rotation applied
+        from autovfx_tpu.utils.linalg import apply_rotation_t
+
+        return apply_rotation_t(dirs_cam, self.R)  # c2w rotation applied
 
     def resized(self, factor: float) -> "Camera":
         """Downscale by ``factor`` (scene_representation.py:135-141)."""

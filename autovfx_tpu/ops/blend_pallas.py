@@ -175,7 +175,14 @@ def _fwd_kernel(tile_start_ref, tile_chunks_ref, feat_ref, out_ref, fbuf, sems):
         jnp.zeros((1, TILE_PIXELS), jnp.float32),
         jnp.zeros((OUT_ROWS, TILE_PIXELS), jnp.float32),
     )
-    _, logT, _, acc = jax.lax.while_loop(cond, body, init)
+    c_fin, logT, _, acc = jax.lax.while_loop(cond, body, init)
+
+    # Early exit leaves the prefetched chunk's DMA in flight; wait for it
+    # before the next grid step reuses the scratch buffers (otherwise the
+    # semaphore state corrupts and the device aborts).
+    @pl.when(c_fin < n_chunks)
+    def _():
+        chunk_dma(jax.lax.rem(c_fin, 2), c_fin).wait()
 
     alpha_row = 1.0 - jnp.exp(logT)  # (1, P)
     row = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, 1), 0)

@@ -132,9 +132,14 @@ def _bwd_kernel(
         return c + 1, logT_new, done_new, ftot
 
     zero_row = jnp.zeros((1, TILE_PIXELS), jnp.float32)
-    _, logT_fin, _, ftot = jax.lax.while_loop(
+    c_fin_a, logT_fin, _, ftot = jax.lax.while_loop(
         cond_a, body_a, (jnp.int32(0), zero_row, zero_row, zero_row)
     )
+
+    @pl.when(c_fin_a < n_chunks)
+    def _():
+        chunk_dma(jax.lax.rem(c_fin_a, 2), c_fin_a).wait()
+
     a_term = g_alpha * jnp.exp(logT_fin)  # g_A · T_N  (1, P)
 
     # ---- pass B: per-duplicate gradients ------------------------------------
@@ -188,9 +193,13 @@ def _bwd_kernel(
         pinc = pinc + jnp.sum(wf, axis=0, keepdims=True)
         return c + 1, logT_new, done_new, pinc
 
-    jax.lax.while_loop(
+    c_fin_b, *_ = jax.lax.while_loop(
         cond_b, body_b, (jnp.int32(0), zero_row, zero_row, zero_row)
     )
+
+    @pl.when(c_fin_b < n_chunks)
+    def _():
+        chunk_dma(jax.lax.rem(c_fin_b, 2), c_fin_b).wait()
 
 
 def blend_bwd_call(feat, tile_start, tile_chunks, g_out, n_tiles):

@@ -20,6 +20,7 @@ from autovfx_tpu.core import sh as sh_lib
 from autovfx_tpu.core.cameras import Camera
 from autovfx_tpu.core.gaussians import Gaussians
 from autovfx_tpu.core.quaternion import quat_to_rotmat
+from autovfx_tpu.utils.linalg import transform_points
 
 TILE = 16  # BLOCK_X = BLOCK_Y = 16 (config.h:16-17)
 NEAR_Z = 0.2  # in_frustum near cull (auxiliary.h)
@@ -77,8 +78,8 @@ def preprocess(
     tiles_x = (w + TILE - 1) // TILE
     tiles_y = (h + TILE - 1) // TILE
 
-    # View transform.
-    p_view = g.xyz @ jnp.swapaxes(cam.R, -1, -2) + cam.t  # (N, 3)
+    # View transform (elementwise — see utils/linalg.py on why not @).
+    p_view = transform_points(g.xyz, cam.R, cam.t)  # (N, 3)
     depth = p_view[:, 2]
     in_front = depth > NEAR_Z
 

