@@ -8,7 +8,10 @@ TPU-first design (vs CUDA's one-thread-per-pixel sequential loop):
 - The per-(splat, pixel) Gaussian falloff is a *matmul*: power = Wᵀ B,
   where W (6, CHUNK) holds per-splat quadratic coefficients in
   tile-relative pixel coordinates and B (6, 256) is the fixed quadratic
-  pixel basis [1, x, y, x², xy, y²] of a 16×16 tile — MXU work.
+  pixel basis [1, x, y, x², xy, y²] of a 16×16 tile — MXU work.  W is
+  assembled *inside the kernel* from raw per-splat rows (mean2d, conic),
+  so the HBM feature buffer is per-GAUSSIAN data gathered once — no
+  per-duplicate packing pass in XLA.
 - Per-splat scalars (log-opacity) broadcast along pixels as rank-1
   outer products with a ones row — no lane↔sublane transposes.
 - Front-to-back compositing becomes a prefix sum of log(1-α) along the
@@ -19,14 +22,16 @@ TPU-first design (vs CUDA's one-thread-per-pixel sequential loop):
   ``exc_hat = max(exc_raw, frozen_val)`` with a single masked reduction.
 - Chunks of 256 duplicates are double-buffer DMA'd from the HBM-resident
   sorted splat buffer (transposed (16, K) layout so chunk slices are
-  lane-aligned); a tile exits its chunk loop once every pixel saturates
-  (the whole-tile analogue of CUDA's per-pixel ``done``).
+  lane-aligned); a tile exits its chunk loop once every pixel saturates,
+  draining the in-flight prefetch DMA first.
 
-Feature packing (built in rasterize.py, differentiable JAX, so XLA
-autodiff chains dW → d(mean2d, conic, opacity) and the gather VJP's
-segment-sum replaces backward.cu's atomicAdd):
-  feat[0:6]  W coefficients        feat[7:10] rgb
-  feat[6]    log-opacity           feat[10]   view depth
+Feature rows (built per-gaussian by ``pack_gaussian_features``, gathered
+to duplicates by one (16, K) column gather whose VJP is the segment-sum
+that replaces backward.cu's atomicAdd):
+  0 mean2d_x (abs px)   4 conic_c      8 b
+  1 mean2d_y            5 log-opacity  9 view depth
+  2 conic_a             6 r
+  3 conic_b             7 g
 """
 from __future__ import annotations
 
@@ -45,7 +50,7 @@ from autovfx_tpu.ops.blend_ref import (
     TILE_PIXELS,
     TileImages,
 )
-from autovfx_tpu.ops.projection import TILE
+from autovfx_tpu.ops.projection import TILE, Splats2D
 
 FEAT = 16  # packed feature rows
 OUT_ROWS = 8  # [r, g, b, depth, alpha, 0, 0, 0]
@@ -81,16 +86,30 @@ def _outer(row, ones_p):
     )
 
 
-def _chunk_alpha(f, basis, ones_p):
-    """Shared fwd/bwd: per-chunk alpha (C, P) + raw power + masks."""
+def _assemble_w(f, ox, oy):
+    """(6, C) quadratic coefficients from raw rows, tile-local coords."""
+    mx = f[0:1] - ox
+    my = f[1:2] - oy
+    ca = f[2:3]
+    cb = f[3:4]
+    cc = f[4:5]
+    w0 = -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my
+    w1 = ca * mx + cb * my
+    w2 = cb * mx + cc * my
+    return jnp.concatenate([w0, w1, w2, -0.5 * ca, -cb, -0.5 * cc], axis=0)
+
+
+def _chunk_alpha(f, basis, ones_p, ox, oy):
+    """Shared fwd/bwd: per-chunk alpha (C, P) + unclamped + ok mask."""
+    w = _assemble_w(f, ox, oy)
     power = jax.lax.dot_general(
-        f[0:6],
+        w,
         basis,
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )  # (C, P)
-    lop = _outer(f[6:7], ones_p)
+    lop = _outer(f[5:6], ones_p)
     a_un = jnp.exp(power + lop)  # op * exp(power), fused
     alpha = jnp.minimum(ALPHA_MAX, a_un)
     ok = (power <= 0.0) & (alpha >= ALPHA_MIN)
@@ -98,10 +117,15 @@ def _chunk_alpha(f, basis, ones_p):
     return alpha, a_un, ok
 
 
-def _fwd_kernel(tile_start_ref, tile_chunks_ref, feat_ref, out_ref, fbuf, sems):
+def _fwd_kernel(
+    tile_start_ref, tile_chunks_ref, feat_ref, out_ref, fbuf, sems,
+    *, tiles_x: int,
+):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     n_chunks = tile_chunks_ref[t]
+    ox = ((t % tiles_x) * TILE).astype(jnp.float32)
+    oy = ((t // tiles_x) * TILE).astype(jnp.float32)
 
     basis = _pixel_basis()
     tri = _tri_strict()
@@ -134,7 +158,7 @@ def _fwd_kernel(tile_start_ref, tile_chunks_ref, feat_ref, out_ref, fbuf, sems):
         chunk_dma(slot, c).wait()
         f = fbuf[slot]  # (FEAT, CHUNK)
 
-        alpha, _, _ = _chunk_alpha(f, basis, ones_p)
+        alpha, _, _ = _chunk_alpha(f, basis, ones_p, ox, oy)
         lg = jnp.log1p(-alpha)
         exc = jax.lax.dot_general(
             tri,
@@ -151,7 +175,7 @@ def _fwd_kernel(tile_start_ref, tile_chunks_ref, feat_ref, out_ref, fbuf, sems):
         exc_hat = jnp.maximum(exc_raw, frozen)
         w = jnp.where(cond_f, 0.0, alpha) * jnp.exp(exc_hat)
         contrib = jax.lax.dot_general(
-            f[7:11],
+            f[6:10],
             w,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -189,12 +213,12 @@ def _fwd_kernel(tile_start_ref, tile_chunks_ref, feat_ref, out_ref, fbuf, sems):
     out_ref[0] = jnp.where(row == 4, alpha_row, acc)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _blend_core(feat, tile_start, tile_chunks, n_tiles):
-    return _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _blend_core(feat, tile_start, tile_chunks, n_tiles, tiles_x):
+    return _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x)
 
 
-def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles):
+def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -210,7 +234,7 @@ def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles):
         ],
     )
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, tiles_x=tiles_x),
         out_shape=jax.ShapeDtypeStruct(
             (n_tiles, OUT_ROWS, TILE_PIXELS), jnp.float32
         ),
@@ -218,48 +242,45 @@ def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles):
     )(tile_start, tile_chunks, feat)
 
 
-def _blend_fwd_rule(feat, tile_start, tile_chunks, n_tiles):
-    out = _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles)
+def _blend_fwd_rule(feat, tile_start, tile_chunks, n_tiles, tiles_x):
+    out = _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x)
     return out, (feat, tile_start, tile_chunks)
 
 
-def _blend_bwd_rule(n_tiles, res, g_out):
+def _blend_bwd_rule(n_tiles, tiles_x, res, g_out):
     from autovfx_tpu.ops.blend_pallas_bwd import blend_bwd_call
 
     feat, tile_start, tile_chunks = res
-    d_feat = blend_bwd_call(feat, tile_start, tile_chunks, g_out, n_tiles)
+    d_feat = blend_bwd_call(
+        feat, tile_start, tile_chunks, g_out, n_tiles, tiles_x
+    )
     return d_feat, None, None
 
 
 _blend_core.defvjp(_blend_fwd_rule, _blend_bwd_rule)
 
 
-def pack_features(binned: BinnedSplats, mean2d, conic, color, opacity, depth):
-    """Build the (16, K) packed, transposed feature buffer (differentiable).
-
-    Means are shifted to tile-local coordinates so the pixel basis is
-    tile-independent; opacity is stored as log so the kernel fuses it
-    into the falloff exponent.
-    """
-    tiles_x = binned.num_tiles_x
-    ox = (binned.tile % tiles_x).astype(jnp.float32) * TILE
-    oy = (binned.tile // tiles_x).astype(jnp.float32) * TILE
-    mx = mean2d[:, 0] - ox
-    my = mean2d[:, 1] - oy
-    ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
-
+def pack_gaussian_features(
+    splats: Splats2D, depth_order: jax.Array
+) -> jax.Array:
+    """(16, N+1) per-gaussian feature rows in depth order + inert dummy
+    column N (differentiable JAX; O(N) not O(K))."""
+    mean2d = splats.mean2d[depth_order]
+    conic = splats.conic[depth_order]
+    color = splats.color[depth_order]
+    opacity = splats.opacity[depth_order]
+    depth = splats.depth[depth_order]
     lop = jnp.where(
         opacity > 0, jnp.log(jnp.maximum(opacity, 1e-37)), LOG_OP_MIN
     )
-    k = mean2d.shape[0]
+    n = mean2d.shape[0]
     feat = jnp.stack(
         [
-            -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my,
-            ca * mx + cb * my,
-            cb * mx + cc * my,
-            -0.5 * ca,
-            -cb,
-            -0.5 * cc,
+            mean2d[:, 0],
+            mean2d[:, 1],
+            conic[:, 0],
+            conic[:, 1],
+            conic[:, 2],
             lop,
             color[:, 0],
             color[:, 1],
@@ -267,19 +288,23 @@ def pack_features(binned: BinnedSplats, mean2d, conic, color, opacity, depth):
             depth,
         ],
         axis=0,
-    )  # (11, K)
-    return jnp.concatenate(
-        [feat, jnp.zeros((FEAT - feat.shape[0], k), jnp.float32)], axis=0
+    )  # (10, N)
+    feat = jnp.concatenate(
+        [feat, jnp.zeros((FEAT - feat.shape[0], n), jnp.float32)], axis=0
     )
+    dummy = jnp.zeros((FEAT, 1), jnp.float32).at[5, 0].set(LOG_OP_MIN)
+    return jnp.concatenate([feat, dummy], axis=1)  # (16, N+1)
 
 
-def blend_tiles_pallas(
-    binned: BinnedSplats, mean2d, conic, color, opacity, depth
-) -> TileImages:
+def blend_tiles_pallas(binned: BinnedSplats, feat_dup) -> TileImages:
+    """feat_dup: (16, K) duplicate features (already gathered)."""
     n_tiles = binned.num_tiles_x * binned.num_tiles_y
-    feat = pack_features(binned, mean2d, conic, color, opacity, depth)
     out = _blend_core(
-        feat, binned.tile_start, binned.tile_chunks, n_tiles
+        feat_dup,
+        binned.tile_start,
+        binned.tile_chunks,
+        n_tiles,
+        binned.num_tiles_x,
     )  # (T, 8, 256)
     return TileImages(
         color=jnp.moveaxis(out[:, 0:3, :], 1, 2),  # (T, 256, 3)

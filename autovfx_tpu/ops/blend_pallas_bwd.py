@@ -10,17 +10,20 @@ D = Σ w_j d_j, A = 1 - T_N, f_j ≝ g_C·c_j + g_D·d_j):
     dL/dα_k = T_k f_k − (S_k − g_A·T_N) / (1−α_k),   S_k = Σ_{j>k} w_j f_j
     dL/dpower_k = α_unclamped·dL/dα_k                  (CUDA convention)
 
-TPU-first: instead of CUDA's back-to-front atomicAdd replay, we run two
-forward passes over the chunk-aligned depth-sorted list: pass A
-accumulates F_total = Σ w f and the final transmittance; pass B computes
+TPU-first: instead of CUDA's back-to-front atomicAdd replay, two forward
+passes over the chunk-aligned depth-sorted list: pass A accumulates
+F_total = Σ w f and the final transmittance; pass B computes
 S_k = F_total − prefix_incl(w f) with the same MXU triangular-matmul
 prefix sums as the forward, reduces per-duplicate gradients with MXU
-contractions against the pixel basis, and DMA-writes per-chunk gradient
-blocks (race-free because tile ranges are CHUNK-aligned).  The output
-buffer is zero-initialized through input/output aliasing so early-exited
-chunks stay zero.
+contractions against the pixel basis, chains them through the in-kernel
+W assembly back to raw feature rows (mean2d, conic, log-opacity, rgb,
+depth), and DMA-writes per-chunk gradient blocks (race-free because tile
+ranges are CHUNK-aligned).  The output buffer is zero-initialized via
+input/output aliasing so early-exited chunks stay zero.
 """
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +40,7 @@ from autovfx_tpu.ops.blend_pallas import (
     _tri_strict,
 )
 from autovfx_tpu.ops.blend_ref import T_EPS, TILE_PIXELS
+from autovfx_tpu.ops.projection import TILE
 
 
 def _tri_incl():
@@ -66,10 +70,14 @@ def _bwd_kernel(
     gbuf,
     sems,
     wsem,
+    *,
+    tiles_x: int,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     n_chunks = tile_chunks_ref[t]
+    ox = ((t % tiles_x) * TILE).astype(jnp.float32)
+    oy = ((t // tiles_x) * TILE).astype(jnp.float32)
 
     basis = _pixel_basis()
     tri_s = _tri_strict()
@@ -89,7 +97,7 @@ def _bwd_kernel(
 
     def chunk_state(f, logT, done):
         """Shared per-chunk recompute: alpha, weights, masks, wf."""
-        alpha, a_un, ok = _chunk_alpha(f, basis, ones_p)
+        alpha, a_un, ok = _chunk_alpha(f, basis, ones_p, ox, oy)
         lg = jnp.log1p(-alpha)
         exc_raw = _mm(tri_s, lg, ((1,), (0,))) + logT
         cond_f = (jnp.exp(exc_raw) * (1.0 - alpha) < T_EPS) | (done > 0.5)
@@ -99,7 +107,7 @@ def _bwd_kernel(
         t_hat = jnp.exp(jnp.maximum(exc_raw, frozen))  # T_k
         live = jnp.logical_not(cond_f) & ok  # CUDA `continue` rules
         w = jnp.where(live, alpha, 0.0) * t_hat
-        f_pix = _mm(f[7:11], gvec, ((0,), (0,)))  # (C, P): f_kp
+        f_pix = _mm(f[6:10], gvec, ((0,), (0,)))  # (C, P): f_kp
         wf = w * f_pix
         logT_new = jnp.maximum(logT + jnp.sum(lg, axis=0, keepdims=True),
                                frozen)
@@ -169,16 +177,40 @@ def _bwd_kernel(
         dl_da = t_hat * f_pix - (s_k - a_term) / (1.0 - alpha)
         dpower = jnp.where(live, a_un * dl_da, 0.0)  # (C, P)
 
-        d_w6 = _mm(basis, dpower, ((1,), (1,)))  # (6, C)
+        d_w6 = _mm(basis, dpower, ((1,), (1,)))  # (6, C) dW rows
         d_lop = _mm(ones_p, dpower, ((1,), (1,)))  # (1, C)
         d_cols = _mm(gvec, w, ((1,), (1,)))  # (4, C) rgb+depth grads
 
+        # chain dW -> raw rows (mean2d, conic) through _assemble_w
+        mx = f[0:1] - ox
+        my = f[1:2] - oy
+        ca = f[2:3]
+        cb = f[3:4]
+        cc = f[4:5]
+        dw0 = d_w6[0:1]
+        dw1 = d_w6[1:2]
+        dw2 = d_w6[2:3]
+        dw3 = d_w6[3:4]
+        dw4 = d_w6[4:5]
+        dw5 = d_w6[5:6]
+        w1v = ca * mx + cb * my
+        w2v = cb * mx + cc * my
+        dmx = -dw0 * w1v + dw1 * ca + dw2 * cb
+        dmy = -dw0 * w2v + dw1 * cb + dw2 * cc
+        dca = -0.5 * dw0 * mx * mx + dw1 * mx - 0.5 * dw3
+        dcb = -dw0 * mx * my + dw1 * my + dw2 * mx - dw4
+        dcc = -0.5 * dw0 * my * my + dw2 * my - 0.5 * dw5
+
         grad = jnp.concatenate(
             [
-                d_w6,
+                dmx,
+                dmy,
+                dca,
+                dcb,
+                dcc,
                 d_lop,
                 d_cols,
-                jnp.zeros((FEAT - 11, CHUNK), jnp.float32),
+                jnp.zeros((FEAT - 10, CHUNK), jnp.float32),
             ],
             axis=0,
         )  # (FEAT, C)
@@ -202,7 +234,7 @@ def _bwd_kernel(
         chunk_dma(jax.lax.rem(c_fin_b, 2), c_fin_b).wait()
 
 
-def blend_bwd_call(feat, tile_start, tile_chunks, g_out, n_tiles):
+def blend_bwd_call(feat, tile_start, tile_chunks, g_out, n_tiles, tiles_x):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -225,9 +257,9 @@ def blend_bwd_call(feat, tile_start, tile_chunks, g_out, n_tiles):
     )
     zeros = jnp.zeros_like(feat)
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, tiles_x=tiles_x),
         out_shape=jax.ShapeDtypeStruct(feat.shape, jnp.float32),
         grid_spec=grid_spec,
-        input_output_aliases={4: 0},  # zeros input (after 2 scalar args) -> out
+        input_output_aliases={4: 0},  # zeros input (after 2 scalar args)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_start, tile_chunks, feat, g_out, zeros)

@@ -113,6 +113,17 @@ def blend_tiles_ref(
     return TileImages(color=tile_color, depth=tile_depth, alpha=tile_alpha)
 
 
+def blend_tiles_ref_from_feat(binned: BinnedSplats, feat_dup) -> TileImages:
+    """Adapter: consume the packed (16, K) duplicate feature rows
+    (blend_pallas.pack_gaussian_features layout)."""
+    mean2d = jnp.stack([feat_dup[0], feat_dup[1]], axis=-1)
+    conic = jnp.stack([feat_dup[2], feat_dup[3], feat_dup[4]], axis=-1)
+    opacity = jnp.exp(feat_dup[5])
+    color = jnp.stack([feat_dup[6], feat_dup[7], feat_dup[8]], axis=-1)
+    depth = feat_dup[9]
+    return blend_tiles_ref(binned, mean2d, conic, color, opacity, depth)
+
+
 def assemble_image(
     tile_img: jax.Array, tiles_x: int, tiles_y: int, width: int, height: int
 ) -> jax.Array:

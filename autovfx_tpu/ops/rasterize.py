@@ -76,25 +76,20 @@ def rasterize(
         splats, cam.width, cam.height, config.dup_budget
     )
 
-    # Gather per-duplicate features (differentiable; VJP = segment-sum).
-    gid = binned.gid
-    opacity = jnp.where(binned.valid, splats.opacity[gid], 0.0)
-    mean2d = splats.mean2d[gid]
-    conic = splats.conic[gid]
-    color = splats.color[gid]
-    depth = splats.depth[gid]
+    from autovfx_tpu.ops import blend_pallas
+
+    # per-gaussian rows (O(N), differentiable), then ONE per-duplicate
+    # column gather (VJP = the segment-sum that replaces CUDA atomicAdd)
+    feat_g = blend_pallas.pack_gaussian_features(
+        splats, binned.depth_order
+    )  # (16, N+1)
+    feat_dup = feat_g[:, binned.gid]  # (16, K)
 
     backend = _select_backend(config.backend)
     if backend == "pallas":
-        from autovfx_tpu.ops import blend_pallas
-
-        tiles = blend_pallas.blend_tiles_pallas(
-            binned, mean2d, conic, color, opacity, depth
-        )
+        tiles = blend_pallas.blend_tiles_pallas(binned, feat_dup)
     else:
-        tiles = blend_ref.blend_tiles_ref(
-            binned, mean2d, conic, color, opacity, depth
-        )
+        tiles = blend_ref.blend_tiles_ref_from_feat(binned, feat_dup)
 
     tx, ty = binned.num_tiles_x, binned.num_tiles_y
     img_color = blend_ref.assemble_image(

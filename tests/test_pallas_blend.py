@@ -29,23 +29,16 @@ def interpret_pallas(monkeypatch):
 def gather_args(g, cam, budget=1 << 14):
     splats = projection.preprocess(g, cam)
     binned = binning.bin_splats(splats, cam.width, cam.height, budget)
-    gid = binned.gid
-    opacity = jnp.where(binned.valid, splats.opacity[gid], 0.0)
-    return binned, (
-        splats.mean2d[gid],
-        splats.conic[gid],
-        splats.color[gid],
-        opacity,
-        splats.depth[gid],
-    )
+    feat_g = blend_pallas.pack_gaussian_features(splats, binned.depth_order)
+    return binned, feat_g[:, binned.gid]
 
 
 class TestForwardParity:
     def test_matches_ref(self):
         g, cam = make_scene(n=200, width=64, height=48, key=0)
-        binned, args = gather_args(g, cam)
-        t_ref = blend_ref.blend_tiles_ref(binned, *args)
-        t_pal = blend_pallas.blend_tiles_pallas(binned, *args)
+        binned, feat = gather_args(g, cam)
+        t_ref = blend_ref.blend_tiles_ref_from_feat(binned, feat)
+        t_pal = blend_pallas.blend_tiles_pallas(binned, feat)
         np.testing.assert_allclose(
             np.asarray(t_pal.color), np.asarray(t_ref.color), atol=3e-5
         )
@@ -64,9 +57,9 @@ class TestForwardParity:
             opacity_logit=jnp.full((n,), 5.0),
             log_scales=jnp.full((n, 3), np.log(0.3)),
         )
-        binned, args = gather_args(g, cam)
-        t_ref = blend_ref.blend_tiles_ref(binned, *args)
-        t_pal = blend_pallas.blend_tiles_pallas(binned, *args)
+        binned, feat = gather_args(g, cam)
+        t_ref = blend_ref.blend_tiles_ref_from_feat(binned, feat)
+        t_pal = blend_pallas.blend_tiles_pallas(binned, feat)
         assert float(jnp.max(t_ref.alpha)) > 0.999
         np.testing.assert_allclose(
             np.asarray(t_pal.alpha), np.asarray(t_ref.alpha), atol=5e-5
@@ -77,34 +70,34 @@ class TestForwardParity:
 
 
 class TestBackwardParity:
-    def _grads(self, blend_fn, binned, args, seed=7):
+    def _grads(self, blend_fn, binned, feat, seed=7):
         tgt_c = jax.random.uniform(
             jax.random.PRNGKey(seed),
             (binned.tile_start.shape[0], 256, 3),
         )
 
-        def loss(mean2d, conic, color, opacity, depth):
-            t = blend_fn(binned, mean2d, conic, color, opacity, depth)
+        def loss(feat):
+            t = blend_fn(binned, feat)
             return (
                 jnp.sum((t.color - tgt_c) ** 2)
                 + 0.1 * jnp.sum(t.depth**2)
                 + 0.2 * jnp.sum(t.alpha**2)
             )
 
-        return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+        return jax.grad(loss)(feat)
 
     def test_grads_match_ref(self):
         g, cam = make_scene(n=120, width=48, height=32, key=1)
-        binned, args = gather_args(g, cam)
-        g_ref = self._grads(blend_ref.blend_tiles_ref, binned, args)
-        g_pal = self._grads(blend_pallas.blend_tiles_pallas, binned, args)
-        names = ["mean2d", "conic", "color", "opacity", "depth"]
-        for name, a, b in zip(names, g_ref, g_pal):
-            a, b = np.asarray(a), np.asarray(b)
-            assert np.isfinite(b).all(), name
-            scale = np.abs(a).max() + 1e-6
+        binned, feat = gather_args(g, cam)
+        g_ref = self._grads(blend_ref.blend_tiles_ref_from_feat, binned, feat)
+        g_pal = self._grads(blend_pallas.blend_tiles_pallas, binned, feat)
+        a, b = np.asarray(g_ref), np.asarray(g_pal)
+        assert np.isfinite(b).all()
+        for row in range(10):
+            scale = np.abs(a[row]).max() + 1e-6
             np.testing.assert_allclose(
-                b / scale, a / scale, atol=2e-4, err_msg=name
+                b[row] / scale, a[row] / scale, atol=2e-4,
+                err_msg=f"feat row {row}",
             )
 
     def test_grads_match_ref_saturated(self):
@@ -115,14 +108,13 @@ class TestBackwardParity:
             opacity_logit=jnp.full((n,), 4.0),
             log_scales=jnp.full((n, 3), np.log(0.25)),
         )
-        binned, args = gather_args(g, cam)
-        g_ref = self._grads(blend_ref.blend_tiles_ref, binned, args)
-        g_pal = self._grads(blend_pallas.blend_tiles_pallas, binned, args)
-        for name, a, b in zip(
-            ["mean2d", "conic", "color", "opacity", "depth"], g_ref, g_pal
-        ):
-            a, b = np.asarray(a), np.asarray(b)
-            scale = np.abs(a).max() + 1e-6
+        binned, feat = gather_args(g, cam)
+        g_ref = self._grads(blend_ref.blend_tiles_ref_from_feat, binned, feat)
+        g_pal = self._grads(blend_pallas.blend_tiles_pallas, binned, feat)
+        a, b = np.asarray(g_ref), np.asarray(g_pal)
+        for row in range(10):
+            scale = np.abs(a[row]).max() + 1e-6
             np.testing.assert_allclose(
-                b / scale, a / scale, atol=5e-4, err_msg=name
+                b[row] / scale, a[row] / scale, atol=5e-4,
+                err_msg=f"feat row {row}",
             )

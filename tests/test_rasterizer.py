@@ -167,6 +167,10 @@ class TestBinning:
         cnt = np.asarray(binned.tile_count)
         chunks = np.asarray(binned.tile_chunks)
         assert (chunks == -(-cnt // binning.CHUNK)).all()
+        # per-tile counts (summed-area table) match the actual duplicates
+        tiles_valid = np.asarray(binned.tile)[np.asarray(binned.valid)]
+        ref_cnt = np.bincount(tiles_valid, minlength=n_tiles)
+        np.testing.assert_array_equal(cnt, ref_cnt)
 
     def test_tile_ranges_partition(self):
         g, cam = make_scene(n=100, width=48, height=32, key=5)
@@ -175,16 +179,25 @@ class TestBinning:
         start = np.asarray(binned.tile_start)
         cnt = np.asarray(binned.tile_count)
         tiles = np.asarray(binned.tile)
+        valid = np.asarray(binned.valid)
         for t in range(len(start)):
             seg = tiles[start[t] : start[t] + cnt[t]]
             assert (seg == t).all()
+            assert valid[start[t] : start[t] + cnt[t]].all()
         assert cnt.sum() == int(binned.valid.sum())
 
     def test_depth_sorted_within_tile(self):
         g, cam = make_scene(n=200, width=48, height=32, key=6)
         splats = projection.preprocess(g, cam)
         binned = binning.bin_splats(splats, cam.width, cam.height, 1 << 14)
-        depth = np.asarray(splats.depth)[np.asarray(binned.gid)]
+        # gid indexes depth-ordered gaussians -> depth via the reorder
+        depth_d = np.concatenate(
+            [
+                np.asarray(splats.depth)[np.asarray(binned.depth_order)],
+                [np.inf],  # dummy column
+            ]
+        )
+        depth = depth_d[np.asarray(binned.gid)]
         start = np.asarray(binned.tile_start)
         cnt = np.asarray(binned.tile_count)
         for t in range(len(start)):
