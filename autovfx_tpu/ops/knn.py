@@ -51,6 +51,58 @@ def morton_codes(xyz: jax.Array, mask: jax.Array | None = None) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "window"))
+def knn_indices(
+    xyz: jax.Array,
+    mask: jax.Array | None = None,
+    k: int = 16,
+    window: int = 48,
+) -> tuple[jax.Array, jax.Array]:
+    """(N, k) approximate nearest-neighbor indices + squared distances.
+
+    Morton-window candidates like ``mean_knn_dist2``; used for SuGaR's
+    16-NN neighbor lists (sugar_model.py reset_neighbors:884).
+    Inactive points get self-indices and +inf distances.
+    """
+    n = xyz.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), bool)
+    codes = morton_codes(xyz, mask)
+    codes = jnp.where(mask, codes, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(codes)
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    pts = xyz[order]
+    act = mask[order]
+
+    # includes offset 0: the point itself is its own nearest neighbor
+    # (SuGaR's knn_points semantics)
+    offs = jnp.arange(-window, window + 1)
+    idx = jnp.arange(n)[:, None] + offs[None, :]
+    in_range = (idx >= 0) & (idx < n)
+    idx_c = jnp.clip(idx, 0, n - 1)
+    cand = pts[idx_c]
+    cand_ok = in_range & act[idx_c] & act[:, None]
+    d2 = jnp.sum((cand - pts[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand_ok, d2, jnp.float32(jnp.inf))
+    neg_top, top_pos = jax.lax.top_k(-d2, k)  # (N, k) positions in window
+    top_d2 = -neg_top
+    nbr_sorted = jnp.take_along_axis(idx_c, top_pos, axis=1)  # morton space
+    nbr_orig = order[nbr_sorted]  # original ids
+    self_orig = order[jnp.arange(n)]
+    nbr_orig = jnp.where(
+        jnp.isfinite(top_d2), nbr_orig, self_orig[:, None]
+    )
+    # scatter back to original order
+    out_idx = jnp.zeros((n, k), jnp.int32).at[order].set(
+        nbr_orig.astype(jnp.int32)
+    )
+    out_d2 = jnp.full((n, k), jnp.inf, jnp.float32).at[order].set(top_d2)
+    del inv
+    return out_idx, out_d2
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window"))
 def mean_knn_dist2(
     xyz: jax.Array,
     mask: jax.Array | None = None,

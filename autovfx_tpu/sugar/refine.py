@@ -1,0 +1,209 @@
+"""Refined SuGaR: mesh-bound Gaussians + texture baking.
+
+Parity target: ``sugar_scene/sugar_model.py`` —
+mesh-bound mode (:170-210: n ∈ {1,3,4,6} Gaussians per triangle at fixed
+barycentric coords; 2D learnable scales + complex-number in-plane
+rotation :322-337; colors from barycentric vertex colors :212-218),
+texture baking (:2398-2616 per-triangle UV squares + SH→image), and
+``convert_refined_sugar_into_gaussians`` (:2617-2638).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import flax.struct
+
+from autovfx_tpu.core.gaussians import Gaussians
+from autovfx_tpu.core.quaternion import rotmat_to_quat
+from autovfx_tpu.core.sh import rgb_to_sh
+from autovfx_tpu.edit.mesh_io import Mesh
+
+# fixed barycentric coords per gaussians-per-triangle count
+# (sugar_model.py:170-210)
+_BARY = {
+    1: np.array([[1 / 3, 1 / 3, 1 / 3]], np.float32),
+    3: np.array(
+        [[1 / 2, 1 / 4, 1 / 4], [1 / 4, 1 / 2, 1 / 4], [1 / 4, 1 / 4, 1 / 2]],
+        np.float32,
+    ),
+    4: np.array(
+        [
+            [1 / 3, 1 / 3, 1 / 3],
+            [2 / 3, 1 / 6, 1 / 6],
+            [1 / 6, 2 / 3, 1 / 6],
+            [1 / 6, 1 / 6, 2 / 3],
+        ],
+        np.float32,
+    ),
+    6: np.array(
+        [
+            [2 / 3, 1 / 6, 1 / 6],
+            [1 / 6, 2 / 3, 1 / 6],
+            [1 / 6, 1 / 6, 2 / 3],
+            [1 / 6, 5 / 12, 5 / 12],
+            [5 / 12, 1 / 6, 5 / 12],
+            [5 / 12, 5 / 12, 1 / 6],
+        ],
+        np.float32,
+    ),
+}
+
+
+@flax.struct.dataclass
+class BoundGaussians:
+    """Learnable surface-bound splats (positions derive from the mesh)."""
+
+    vertices: jax.Array  # (V, 3) — learnable (refinement moves the mesh)
+    faces: jax.Array = flax.struct.field(pytree_node=False)  # (F, 3)
+    bary: jax.Array = flax.struct.field(pytree_node=False)  # (n, 3)
+    log_scales2d: jax.Array = None  # (F*n, 2) tangent-plane scales
+    rot_complex: jax.Array = None  # (F*n, 2) in-plane rotation (cos, sin)
+    vertex_colors: jax.Array = None  # (V, 3) learnable vertex colors
+    opacity_logit: jax.Array = None  # (F*n,)
+    thickness_ratio: float = flax.struct.field(
+        pytree_node=False, default=0.05
+    )
+
+    @property
+    def num_gaussians(self) -> int:
+        return self.faces.shape[0] * self.bary.shape[0]
+
+
+def bind_to_mesh(
+    mesh: Mesh, n_per_triangle: int = 1, initial_opacity: float = 0.9
+) -> BoundGaussians:
+    v = jnp.asarray(mesh.vertices, jnp.float32)
+    f = jnp.asarray(mesh.faces, jnp.int32)
+    bary = jnp.asarray(_BARY[n_per_triangle])
+    n = mesh.faces.shape[0] * n_per_triangle
+    # initial 2D scale ~ triangle size
+    e1 = mesh.vertices[mesh.faces[:, 1]] - mesh.vertices[mesh.faces[:, 0]]
+    e2 = mesh.vertices[mesh.faces[:, 2]] - mesh.vertices[mesh.faces[:, 0]]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+    s0 = np.sqrt(np.maximum(area / max(n_per_triangle, 1), 1e-12))
+    log_s = np.log(np.repeat(s0, n_per_triangle))[:, None].repeat(2, 1)
+    vc = (
+        mesh.vertex_colors
+        if mesh.vertex_colors is not None
+        else np.full((len(mesh.vertices), 3), 0.5, np.float32)
+    )
+    op = float(np.log(initial_opacity / (1 - initial_opacity)))
+    return BoundGaussians(
+        vertices=v,
+        faces=f,
+        bary=bary,
+        log_scales2d=jnp.asarray(log_s, jnp.float32),
+        rot_complex=jnp.concatenate(
+            [jnp.ones((n, 1)), jnp.zeros((n, 1))], axis=1
+        ),
+        vertex_colors=jnp.asarray(vc, jnp.float32),
+        opacity_logit=jnp.full((n,), op, jnp.float32),
+    )
+
+
+def realize(bg: BoundGaussians) -> Gaussians:
+    """Materialize bound splats as a standard Gaussians pytree
+    (convert_refined_sugar_into_gaussians, sugar_model.py:2617-2638)."""
+    v = bg.vertices
+    f = bg.faces
+    tri = v[f]  # (F, 3, 3)
+    n_b = bg.bary.shape[0]
+    centers = jnp.einsum("bk,fkj->fbj", bg.bary, tri).reshape(-1, 3)
+
+    # tangent frame per triangle
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    nrm = jnp.cross(e1, e2)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, -1, keepdims=True), 1e-12)
+    t1 = e1 / jnp.maximum(jnp.linalg.norm(e1, -1, keepdims=True), 1e-12)
+    t2 = jnp.cross(nrm, t1)
+
+    t1 = jnp.repeat(t1, n_b, axis=0)
+    t2 = jnp.repeat(t2, n_b, axis=0)
+    nrm_r = jnp.repeat(nrm, n_b, axis=0)
+
+    # in-plane rotation by the complex number (cos, sin)
+    c = bg.rot_complex / jnp.maximum(
+        jnp.linalg.norm(bg.rot_complex, -1, keepdims=True), 1e-9
+    )
+    a1 = c[:, 0:1] * t1 + c[:, 1:2] * t2
+    a2 = -c[:, 1:2] * t1 + c[:, 0:1] * t2
+    rot = jnp.stack([a1, a2, nrm_r], axis=-1)  # columns = axes
+    quats = rotmat_to_quat(rot)
+
+    s2d = jnp.exp(bg.log_scales2d)
+    thickness = bg.thickness_ratio * jnp.min(s2d, axis=-1, keepdims=True)
+    log_scales = jnp.log(
+        jnp.concatenate([s2d, thickness], axis=-1)
+    )
+
+    colors = jnp.einsum(
+        "bk,fkj->fbj", bg.bary, bg.vertex_colors[f]
+    ).reshape(-1, 3)
+
+    n = centers.shape[0]
+    return Gaussians(
+        xyz=centers,
+        sh_dc=rgb_to_sh(jnp.clip(colors, 0.0, 1.0)),
+        sh_rest=jnp.zeros((n, 15, 3), jnp.float32),
+        log_scales=log_scales,
+        quats=quats,
+        opacity_logit=bg.opacity_logit,
+        active=jnp.ones((n,), bool),
+    )
+
+
+def bake_texture(
+    bg: BoundGaussians, texture_size: int = 1024, square_size: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bake per-triangle color squares into a UV atlas
+    (extract_texture_image_and_uv_from_gaussians, sugar_model.py:2398-2616).
+
+    Returns (texture (S, S, 3) float, per-vertex uv (F*3, 2)) with each
+    triangle owning half of an 8x8 texel square.
+    """
+    f = np.asarray(bg.faces)
+    vc = np.asarray(bg.vertex_colors)
+    n_faces = len(f)
+    per_row = texture_size // square_size
+    n_squares = per_row * per_row
+    assert n_faces <= 2 * n_squares, "texture too small for face count"
+
+    tex = np.zeros((texture_size, texture_size, 3), np.float32)
+    uv = np.zeros((n_faces, 3, 2), np.float32)
+    sq = np.arange(n_faces) // 2
+    upper = np.arange(n_faces) % 2 == 0
+    row = sq // per_row
+    col = sq % per_row
+    x0 = col * square_size
+    y0 = row * square_size
+
+    # fill squares with mean face color (flat shading; barycentric
+    # gradients are a refinement TODO)
+    face_col = vc[f].mean(axis=1)
+    for i in range(n_faces):
+        tex[y0[i] : y0[i] + square_size, x0[i] : x0[i] + square_size] = (
+            face_col[i]
+        )
+
+    eps = 1.0 / texture_size
+    for i in range(n_faces):
+        u0, v0 = x0[i] / texture_size, y0[i] / texture_size
+        s = square_size / texture_size
+        if upper[i]:
+            uv[i] = [
+                [u0 + eps, v0 + eps],
+                [u0 + s - eps, v0 + eps],
+                [u0 + eps, v0 + s - eps],
+            ]
+        else:
+            uv[i] = [
+                [u0 + s - eps, v0 + s - eps],
+                [u0 + eps, v0 + s - eps],
+                [u0 + s - eps, v0 + eps],
+            ]
+    return tex, uv.reshape(-1, 2)

@@ -1,0 +1,263 @@
+"""SuGaR layer tests: density field, regularization, marching tets,
+level-set extraction, mesh extraction, mesh-bound refinement."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from autovfx_tpu.core import cameras as C
+from autovfx_tpu.core.gaussians import Gaussians
+from autovfx_tpu.ops.rasterize import RasterConfig
+from autovfx_tpu.sugar import density as D
+from autovfx_tpu.sugar import regularization as REG
+from autovfx_tpu.sugar.marching import (
+    decimate_vertex_clustering,
+    marching_tetrahedra,
+)
+from autovfx_tpu.utils.synthetic import make_gaussians
+
+CFG = RasterConfig(dup_budget=1 << 14, backend="ref")
+
+
+def sphere_shell_gaussians(n=600, radius=1.0, key=0):
+    """Gaussians on a sphere surface (a well-defined level set)."""
+    k = jax.random.PRNGKey(key)
+    d = jax.random.normal(k, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    g = make_gaussians(n, k, scale_range=(0.05, 0.08))
+    return g.replace(
+        xyz=d * radius,
+        opacity_logit=jnp.full((n,), 3.0),  # ~0.95
+        log_scales=jnp.full((n, 3), np.log(0.06)),
+    )
+
+
+class TestDensity:
+    def test_density_peaks_at_centers(self):
+        g = sphere_shell_gaussians()
+        nbrs = D.reset_neighbors(g)
+        at_centers = D.compute_density(g.xyz[:50], nbrs[:50], g)
+        far = D.compute_density(
+            jnp.zeros((1, 3)), nbrs[:1], g
+        )  # sphere center is empty
+        assert float(at_centers.min()) > 0.9
+        assert float(far[0]) < 0.05
+
+    def test_beta_matches_min_scale(self):
+        g = sphere_shell_gaussians()
+        nbrs = D.reset_neighbors(g)
+        beta = D.compute_beta(g.xyz[:10], nbrs[:10], g)
+        np.testing.assert_allclose(np.asarray(beta), 0.06, rtol=1e-3)
+
+    def test_gradient_points_outward_inside_shell(self):
+        g = sphere_shell_gaussians()
+        nbrs = D.reset_neighbors(g)
+        # just inside the shell, density increases toward the surface
+        pts = g.xyz[:20] * 0.9
+        grad = D.density_gradient(pts, nbrs[:20], g)
+        radial = jnp.sum(
+            grad * g.xyz[:20] / jnp.linalg.norm(g.xyz[:20], axis=1,
+                                                keepdims=True),
+            axis=1,
+        )
+        assert (np.asarray(radial) > 0).mean() > 0.9
+
+    def test_sample_points_in_gaussians(self):
+        g = sphere_shell_gaussians()
+        pts, src = D.sample_points_in_gaussians(
+            g, jax.random.PRNGKey(1), 1000
+        )
+        r = np.linalg.norm(np.asarray(pts), axis=1)
+        assert abs(r.mean() - 1.0) < 0.1
+
+
+class TestRegularization:
+    def test_entropy_zero_at_binary(self):
+        g = sphere_shell_gaussians()
+        g_bin = g.replace(opacity_logit=jnp.full((g.capacity,), 20.0))
+        assert float(REG.opacity_entropy_loss(g_bin)) < 1e-4
+        g_half = g.replace(opacity_logit=jnp.zeros((g.capacity,)))
+        assert float(REG.opacity_entropy_loss(g_half)) > 0.6
+
+    def test_density_reg_differentiable(self):
+        g = sphere_shell_gaussians(n=200)
+        cam = C.look_at_camera(
+            [3.0, 0, 0.5], [0, 0, 0], [0, 0, 1], fx=40.0, fy=40.0,
+            width=48, height=36,
+        )
+        from autovfx_tpu.ops.rasterize import rasterize
+
+        out = rasterize(g, cam, config=CFG)
+        samples = REG.sample_sdf_points(g, jax.random.PRNGKey(2), 512)
+
+        def loss(xyz):
+            g2 = g.replace(xyz=xyz)
+            return REG.density_regularization_loss(
+                g2, samples, cam, out.depth, out.alpha
+            )
+
+        val, grad = jax.value_and_grad(loss)(g.xyz)
+        assert np.isfinite(float(val))
+        assert np.isfinite(np.asarray(grad)).all()
+        assert np.abs(np.asarray(grad)).max() > 0
+
+
+class TestMarchingTets:
+    def _sphere_grid(self, res=48, r=0.7):
+        xs = np.linspace(-1, 1, res)
+        gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+        vals = r - np.sqrt(gx**2 + gy**2 + gz**2)  # >0 inside
+        return vals, xs
+
+    def test_sphere_surface(self):
+        vals, xs = self._sphere_grid()
+        sp = xs[1] - xs[0]
+        v, f = marching_tetrahedra(vals, 0.0, [-1, -1, -1], sp)
+        assert len(v) > 500 and len(f) > 500
+        r = np.linalg.norm(v, axis=1)
+        np.testing.assert_allclose(r, 0.7, atol=0.05)
+        # surface is closed: every edge shared by exactly 2 faces
+        edges = np.sort(
+            np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]), axis=1
+        )
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        assert (counts == 2).mean() > 0.99
+
+    def test_empty_grid(self):
+        vals = np.zeros((8, 8, 8), np.float32)
+        v, f = marching_tetrahedra(vals, 0.5, [0, 0, 0], 1.0)
+        assert len(v) == 0 and len(f) == 0
+
+    def test_decimation(self):
+        vals, xs = self._sphere_grid(res=64)
+        v, f = marching_tetrahedra(vals, 0.0, [-1, -1, -1], xs[1] - xs[0])
+        v2, f2 = decimate_vertex_clustering(v, f, len(v) // 4)
+        assert len(v2) < len(v)
+        r = np.linalg.norm(v2, axis=1)
+        np.testing.assert_allclose(r, 0.7, atol=0.08)
+
+
+class TestLevelSet:
+    def test_sphere_level_points(self):
+        g = sphere_shell_gaussians(n=800)
+        cam = C.look_at_camera(
+            [3.0, 0, 0], [0, 0, 0], [0, 0, 1], fx=60.0, fy=60.0,
+            width=64, height=48,
+        )
+        from autovfx_tpu.sugar.levelset import level_surface_from_camera
+
+        ls = level_surface_from_camera(g, cam, config=CFG, pixel_stride=2)
+        m = np.asarray(ls.valid)
+        assert m.sum() > 100
+        r = np.linalg.norm(np.asarray(ls.points)[m], axis=1)
+        # points lie near the shell (radius 1 ± gaussian support)
+        assert abs(np.median(r) - 1.0) < 0.15
+
+
+class TestMeshExtraction:
+    @pytest.mark.slow
+    def test_extract_sphere_mesh(self):
+        from autovfx_tpu.sugar.extract_mesh import density_grid_mesh
+
+        g = sphere_shell_gaussians(n=800)
+        v, f = density_grid_mesh(
+            g, [-1.5, -1.5, -1.5], [1.5, 1.5, 1.5], resolution=64,
+            level=0.3,
+        )
+        assert len(v) > 200
+        r = np.linalg.norm(v, axis=1)
+        assert abs(np.median(r) - 1.0) < 0.15
+
+
+class TestRefine:
+    def _tri_mesh(self):
+        from autovfx_tpu.edit.mesh_io import Mesh
+
+        v = np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32
+        )
+        f = np.array([[0, 1, 2], [1, 3, 2]], np.int64)
+        c = np.array(
+            [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]], np.float32
+        )
+        return Mesh(vertices=v, faces=f, vertex_colors=c)
+
+    def test_bind_and_realize(self):
+        from autovfx_tpu.sugar.refine import bind_to_mesh, realize
+
+        for n in (1, 3, 4, 6):
+            bg = bind_to_mesh(self._tri_mesh(), n_per_triangle=n)
+            g = realize(bg)
+            assert g.capacity == 2 * n
+            # all splats on the z=0 plane, min axis = z
+            np.testing.assert_allclose(np.asarray(g.xyz[:, 2]), 0, atol=1e-6)
+            normals = np.asarray(g.normals())
+            np.testing.assert_allclose(np.abs(normals[:, 2]), 1, atol=1e-5)
+
+    def test_realize_differentiable(self):
+        from autovfx_tpu.sugar.refine import bind_to_mesh, realize
+
+        bg = bind_to_mesh(self._tri_mesh(), n_per_triangle=3)
+
+        def loss(verts):
+            g = realize(bg.replace(vertices=verts))
+            return jnp.sum(g.xyz**2) + jnp.sum(g.scales)
+
+        grad = jax.grad(loss)(bg.vertices)
+        assert np.isfinite(np.asarray(grad)).all()
+        assert np.abs(np.asarray(grad)).max() > 0
+
+    def test_bake_texture(self):
+        from autovfx_tpu.sugar.refine import bake_texture, bind_to_mesh
+
+        bg = bind_to_mesh(self._tri_mesh())
+        tex, uv = bake_texture(bg, texture_size=64, square_size=8)
+        assert tex.shape == (64, 64, 3)
+        assert uv.shape == (6, 2)
+        assert ((uv >= 0) & (uv <= 1)).all()
+        assert tex.max() > 0
+
+
+class TestCoarseTrain:
+    @pytest.mark.slow
+    def test_short_coarse_training_runs(self):
+        from autovfx_tpu.sugar.coarse_train import SugarConfig, coarse_train
+        from autovfx_tpu.train.trainer import TrainConfig
+        from autovfx_tpu.ops.rasterize import rasterize
+
+        g = sphere_shell_gaussians(n=150)
+        cams = C.stack_cameras(
+            [
+                C.look_at_camera(
+                    [3 * np.cos(a), 3 * np.sin(a), 0.5],
+                    [0, 0, 0],
+                    [0, 0, 1],
+                    fx=30.0,
+                    fy=30.0,
+                    width=32,
+                    height=24,
+                )
+                for a in np.linspace(0, 2 * np.pi, 4, endpoint=False)
+            ]
+        )
+        imgs = jnp.stack(
+            [
+                rasterize(g, C.index_camera(cams, i), config=CFG).color
+                for i in range(4)
+            ]
+        )
+        cfg = SugarConfig(
+            base=TrainConfig(
+                iterations=30,
+                raster=CFG,
+                densify_from_iter=10**9,
+                spatial_lr_scale=2.0,
+            ),
+            regularize_from=10,
+            n_sdf_samples=256,
+        )
+        state, hist = coarse_train(g, cams, imgs, cfg, log_every=30)
+        assert np.isfinite(hist[-1]["loss"])
+        assert np.isfinite(
+            np.asarray(state.gaussians.xyz)
+        ).all()
