@@ -260,16 +260,15 @@ def _blend_bwd_rule(n_tiles, tiles_x, res, g_out):
 _blend_core.defvjp(_blend_fwd_rule, _blend_bwd_rule)
 
 
-def pack_gaussian_features(
-    splats: Splats2D, depth_order: jax.Array
-) -> jax.Array:
-    """(16, N+1) per-gaussian feature rows in depth order + inert dummy
-    column N (differentiable JAX; O(N) not O(K))."""
-    mean2d = splats.mean2d[depth_order]
-    conic = splats.conic[depth_order]
-    color = splats.color[depth_order]
-    opacity = splats.opacity[depth_order]
-    depth = splats.depth[depth_order]
+def pack_gaussian_features(splats: Splats2D) -> jax.Array:
+    """(16, N+1) per-gaussian feature rows (original order — binning's
+    gid already maps duplicates to original ids) + inert dummy column N
+    (differentiable JAX; O(N) not O(K))."""
+    mean2d = splats.mean2d
+    conic = splats.conic
+    color = splats.color
+    opacity = splats.opacity
+    depth = splats.depth
     lop = jnp.where(
         opacity > 0, jnp.log(jnp.maximum(opacity, 1e-37)), LOG_OP_MIN
     )

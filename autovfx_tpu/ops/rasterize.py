@@ -80,9 +80,7 @@ def rasterize(
 
     # per-gaussian rows (O(N), differentiable), then ONE per-duplicate
     # column gather (VJP = the segment-sum that replaces CUDA atomicAdd)
-    feat_g = blend_pallas.pack_gaussian_features(
-        splats, binned.depth_order
-    )  # (16, N+1)
+    feat_g = blend_pallas.pack_gaussian_features(splats)  # (16, N+1)
     feat_dup = feat_g[:, binned.gid]  # (16, K)
 
     backend = _select_backend(config.backend)

@@ -28,7 +28,7 @@ import numpy as np
 WIDTH = int(os.environ["BENCH_WIDTH"])
 HEIGHT = int(os.environ["BENCH_HEIGHT"])
 N_GAUSS = int(os.environ.get("BENCH_GAUSSIANS", 1_000_000))
-DUP_BUDGET = int(os.environ.get("BENCH_DUP_BUDGET", 1 << 23))
+DUP_BUDGET = int(os.environ.get("BENCH_DUP_BUDGET", 6_291_456))
 FRAMES = int(os.environ.get("BENCH_FRAMES", 8))
 BASELINE_FPS = 60.0
 

@@ -29,7 +29,7 @@ def interpret_pallas(monkeypatch):
 def gather_args(g, cam, budget=1 << 14):
     splats = projection.preprocess(g, cam)
     binned = binning.bin_splats(splats, cam.width, cam.height, budget)
-    feat_g = blend_pallas.pack_gaussian_features(splats, binned.depth_order)
+    feat_g = blend_pallas.pack_gaussian_features(splats)
     return binned, feat_g[:, binned.gid]
 
 

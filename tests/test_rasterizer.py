@@ -190,13 +190,8 @@ class TestBinning:
         g, cam = make_scene(n=200, width=48, height=32, key=6)
         splats = projection.preprocess(g, cam)
         binned = binning.bin_splats(splats, cam.width, cam.height, 1 << 14)
-        # gid indexes depth-ordered gaussians -> depth via the reorder
-        depth_d = np.concatenate(
-            [
-                np.asarray(splats.depth)[np.asarray(binned.depth_order)],
-                [np.inf],  # dummy column
-            ]
-        )
+        # gid indexes original gaussians (dummy N = inf)
+        depth_d = np.concatenate([np.asarray(splats.depth), [np.inf]])
         depth = depth_d[np.asarray(binned.gid)]
         start = np.asarray(binned.tile_start)
         cnt = np.asarray(binned.tile_count)
