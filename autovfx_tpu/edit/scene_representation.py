@@ -257,9 +257,15 @@ class SceneRepresentation:
         world.state = world.state.replace(
             quat=jnp.asarray(np.stack(quats), jnp.float32)
         )
-        # apply physics events (start/stop via enabled windows is handled
-        # frame-wise; v1 simulates the full clip with enabled flags)
-        final, pos, quat = simulate(world, self.total_frames)
+        # per-frame physics windows from the event system
+        from autovfx_tpu.edit.events import physics_enabled_schedule
+
+        sched = physics_enabled_schedule(
+            self.inserted_objects, self.events, self.total_frames
+        )
+        final, pos, quat = simulate(
+            world, self.total_frames, enabled_schedule=sched
+        )
         self.rb_transform = rb_transform_schema(world, pos, quat)
         self._world = world
         self._world_traj = (pos, quat)
@@ -414,6 +420,93 @@ class SceneRepresentation:
         depth_n = np.where(alpha > 0.01, depth_n, 1e9)
         return color, alpha, depth_n
 
+    def _smoke_trajectory(self):
+        """Simulate smoke/fire for the clip (cached); returns per-frame
+        (density, temperature) stacks + domain (origin, extent) or None.
+
+        Replaces the Mantaflow quick_smoke domain placed above each
+        burning/smoking object (all_rendering.py:1227-1457); fire/smoke
+        events gate the fuel inflow per frame.
+        """
+        if getattr(self, "_smoke_traj", None) is not None:
+            return self._smoke_traj
+        ids = set(self.fire_objects) | set(self.smoke_objects)
+        for ev in self.events:
+            if ev["event_type"] in ("fire", "smoke"):
+                ids.add(ev["object_id"])
+        emitters = [
+            o for o in self.inserted_objects if o["object_id"] in ids
+        ]
+        if not emitters:
+            self._smoke_traj = None
+            return None
+        import jax.numpy as jnp
+
+        from autovfx_tpu.edit.events import compile_event_schedule
+        from autovfx_tpu.render import smoke as SM
+
+        centers = np.stack(
+            [np.asarray(o["pos"], np.float32) for o in emitters]
+        )
+        extent = max(
+            2.5 * float(np.ptp(centers, axis=0).max() + 1.0), 2.0
+        )
+        origin = centers.mean(0) - extent * np.array([0.5, 0.5, 0.15])
+        cfg = SM.SmokeConfig(
+            resolution=48,
+            dt=1.0 / self.fps,
+            with_fire=bool(self.fire_objects),
+        )
+        mask = jnp.zeros((cfg.resolution,) * 3)
+        for o in emitters:
+            cell = (np.asarray(o["pos"]) - origin) / extent * cfg.resolution
+            mask = jnp.maximum(
+                mask,
+                SM.sphere_inflow(cfg, cell, 0.06 * cfg.resolution),
+            )
+        # per-frame fuel from events (default: always on)
+        sched = compile_event_schedule(
+            self.events,
+            [o["object_id"] for o in emitters],
+            self.total_frames,
+        )
+        fire_smoke = sched["fire"] | sched["smoke"]
+        has_event = fire_smoke.any(axis=0)
+        on = np.ones((self.total_frames,), bool)
+        if has_event.any():
+            on = fire_smoke[:, has_event].any(axis=1)
+        traj = SM.simulate_smoke(
+            cfg, mask, self.total_frames, jnp.asarray(on)
+        )
+        self._smoke_traj = (traj, origin.astype(np.float32), extent, cfg)
+        return self._smoke_traj
+
+    def render_smoke_pass(self, frame_idx: int):
+        """Smoke RGBA+depth (+fire premultiplied) for one frame, rendered
+        through the splat rasterizer (the rgb_smoke_fire pass analog)."""
+        traj = self._smoke_trajectory()
+        cam = C.index_camera(self.cameras, frame_idx)
+        h, w = cam.height, cam.width
+        if traj is None:
+            return None
+        states, origin, extent, cfg = traj
+        from autovfx_tpu.render import smoke as SM
+
+        g_smoke = SM.smoke_to_gaussians(
+            states.density[frame_idx],
+            states.temperature[frame_idx],
+            origin,
+            extent,
+            with_fire=cfg.with_fire,
+        )
+        out = rasterize(g_smoke, cam, config=self._raster_cfg())
+        color = np.asarray(out.color)
+        alpha = np.asarray(out.alpha)
+        depth = np.asarray(out.depth) / np.maximum(alpha, 1e-6)
+        depth = np.where(alpha > 0.01, depth, 1e9)
+        fire_premult = color * alpha[..., None] if cfg.with_fire else None
+        return color, alpha, depth, fire_premult
+
     def render_shadow_pass(self, frame_idx: int, bg_depth, bg_alpha):
         """Envmap-visibility shadow ratio for the background pixels."""
         self.render_global_env_map()
@@ -460,6 +553,18 @@ class SceneRepresentation:
             scene_d = bg_d[fi] / np.maximum(bg_a[fi], 1e-6)
             scene_d = np.where(bg_a[fi] > 0.01, scene_d, 1e9)
             ratio = self.render_shadow_pass(fi, bg_d[fi], bg_a[fi])
+            smoke = self.render_smoke_pass(fi)
+            smoke_kw = {}
+            if smoke is not None:
+                s_c, s_a, s_d, fire_pre = smoke
+                smoke_kw = dict(
+                    smoke_color=jnp.asarray(s_c),
+                    smoke_alpha=jnp.asarray(s_a),
+                    smoke_depth=jnp.asarray(s_d),
+                    fire_premult=(
+                        jnp.asarray(fire_pre) if fire_pre is not None else None
+                    ),
+                )
             inp = RCOMP.CompositeInputs(
                 bg_color=jnp.asarray(bg_c[fi]),
                 scene_depth=jnp.asarray(scene_d),
@@ -468,6 +573,7 @@ class SceneRepresentation:
                 obj_depth=jnp.asarray(obj_d),
                 shadow_ratio=jnp.asarray(ratio),
                 catcher_alpha=jnp.asarray(np.clip(bg_a[fi], 0, 1)),
+                **smoke_kw,
             )
             frames.append(np.asarray(RCOMP.composite_frame(inp)))
         frames = np.stack(frames)

@@ -133,27 +133,41 @@ class RigidWorld:
         )
 
 
-def simulate(world: RigidWorld, num_frames: int):
+def simulate(world: RigidWorld, num_frames: int, enabled_schedule=None):
     """Run the jitted frame loop; returns per-frame (pos, quat) plus the
-    final BodyState.  pos/quat are COM trajectories (F, B, ...)."""
+    final BodyState.  pos/quat are COM trajectories (F, B, ...).
+
+    ``enabled_schedule``: optional (frames, bodies) bool — per-frame
+    physics on/off from the event system (edit/events.py), replacing the
+    reference's per-frame Blender event handler
+    (all_rendering.py:2028-2060).
+    """
     cfg = world.cfg
     shape, params, grid = world.shape, world.params, world.grid
+    if enabled_schedule is None:
+        sched = jnp.broadcast_to(
+            params.enabled[None, :], (num_frames, params.enabled.shape[0])
+        )
+    else:
+        sched = jnp.asarray(np.asarray(enabled_schedule, bool))
 
     @jax.jit
-    def run(state):
-        def frame(state, _):
+    def run(state, sched):
+        def frame(state, enabled_f):
+            params_f = params.replace(enabled=enabled_f)
+
             def sub(s, _):
-                return S.substep(shape, s, params, grid, cfg), None
+                return S.substep(shape, s, params_f, grid, cfg), None
 
             state, _ = jax.lax.scan(
                 sub, state, None, length=cfg.substeps_per_frame
             )
             return state, (state.pos, state.quat)
 
-        final, traj = jax.lax.scan(frame, state, None, length=num_frames)
+        final, traj = jax.lax.scan(frame, state, sched)
         return final, traj
 
-    final, (pos, quat) = run(world.state)
+    final, (pos, quat) = run(world.state, sched)
     return final, np.asarray(pos), np.asarray(quat)
 
 

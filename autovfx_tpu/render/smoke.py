@@ -1,0 +1,235 @@
+"""Smoke & fire: jitted grid fluid rendered as Gaussian volumes.
+
+Parity target: the *used subset* of Blender's Mantaflow gas sim +
+Infinigen flame shading (``all_rendering.py:1227-1457``: quick_smoke
+domain above the object, keyframed fuel/inflow, dissolve + noise,
+blackbody flame colors, 512-sample premultiplied fire pass consumed by
+the compositor :294-302).
+
+TPU-first: a semi-Lagrangian smoke solver (advect density/temperature/
+velocity, buoyancy, dissipation, pressure projection via Jacobi) on a
+fixed grid inside ``lax.scan`` — the whole clip simulates in one jit.
+Each frame's density field converts to Gaussian volumes (one splat per
+occupied cell) rendered by the SAME splat rasterizer: smoke as gray
+absorbing splats, fire as emissive blackbody-colored splats that feed
+the compositor's additive premultiplied pass.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from autovfx_tpu.core.gaussians import Gaussians
+from autovfx_tpu.core.sh import rgb_to_sh
+
+
+class SmokeConfig(NamedTuple):
+    resolution: int = 48  # cells per axis
+    buoyancy: float = 4.0
+    dissipation: float = 0.985
+    temperature_diff: float = 0.92
+    inflow_density: float = 0.9
+    inflow_temperature: float = 1.0
+    vorticity: float = 0.0
+    jacobi_iters: int = 20
+    dt: float = 1.0 / 15.0
+    with_fire: bool = False
+
+
+class SmokeState(NamedTuple):
+    density: jax.Array  # (R, R, R)
+    temperature: jax.Array
+    velocity: jax.Array  # (R, R, R, 3)
+
+
+def init_state(cfg: SmokeConfig) -> SmokeState:
+    r = cfg.resolution
+    return SmokeState(
+        density=jnp.zeros((r, r, r)),
+        temperature=jnp.zeros((r, r, r)),
+        velocity=jnp.zeros((r, r, r, 3)),
+    )
+
+
+def _sample(field, pos):
+    """Trilinear sample of (R,R,R[,C]) at grid coords (R,R,R,3)."""
+    r = field.shape[0]
+    p = jnp.clip(pos, 0.0, r - 1.001)
+    i0 = jnp.floor(p).astype(jnp.int32)
+    f = p - i0
+    i1 = jnp.minimum(i0 + 1, r - 1)
+
+    c000 = field[i0[..., 0], i0[..., 1], i0[..., 2]]
+    c100 = field[i1[..., 0], i0[..., 1], i0[..., 2]]
+    c010 = field[i0[..., 0], i1[..., 1], i0[..., 2]]
+    c110 = field[i1[..., 0], i1[..., 1], i0[..., 2]]
+    c001 = field[i0[..., 0], i0[..., 1], i1[..., 2]]
+    c101 = field[i1[..., 0], i0[..., 1], i1[..., 2]]
+    c011 = field[i0[..., 0], i1[..., 1], i1[..., 2]]
+    c111 = field[i1[..., 0], i1[..., 1], i1[..., 2]]
+    fx = f[..., 0:1] if field.ndim == 4 else f[..., 0]
+    fy = f[..., 1:2] if field.ndim == 4 else f[..., 1]
+    fz = f[..., 2:3] if field.ndim == 4 else f[..., 2]
+    c00 = c000 * (1 - fx) + c100 * fx
+    c10 = c010 * (1 - fx) + c110 * fx
+    c01 = c001 * (1 - fx) + c101 * fx
+    c11 = c011 * (1 - fx) + c111 * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def _grid_coords(r):
+    ii = jnp.arange(r)
+    gx, gy, gz = jnp.meshgrid(ii, ii, ii, indexing="ij")
+    return jnp.stack([gx, gy, gz], -1).astype(jnp.float32)
+
+
+def step(state: SmokeState, inflow_mask: jax.Array, cfg: SmokeConfig):
+    """One solver step: advect → inflow → buoyancy → project."""
+    r = cfg.resolution
+    coords = _grid_coords(r)
+
+    # semi-Lagrangian advection
+    back = coords - cfg.dt * state.velocity * r
+    density = _sample(state.density, back) * cfg.dissipation
+    temp = _sample(state.temperature, back) * cfg.temperature_diff
+    vel = _sample(state.velocity, back)
+
+    # inflow (keyframed fuel region, all_rendering.py:1310-1360)
+    density = jnp.maximum(density, inflow_mask * cfg.inflow_density)
+    temp = jnp.maximum(temp, inflow_mask * cfg.inflow_temperature)
+
+    # buoyancy along +z
+    vel = vel.at[..., 2].add(cfg.dt * cfg.buoyancy * temp)
+
+    # incompressibility: Jacobi pressure solve on divergence
+    def div(v):
+        dx = jnp.gradient(v[..., 0], axis=0)
+        dy = jnp.gradient(v[..., 1], axis=1)
+        dz = jnp.gradient(v[..., 2], axis=2)
+        return dx + dy + dz
+
+    d = div(vel)
+
+    def jacobi(i, p):
+        p_n = (
+            jnp.roll(p, 1, 0) + jnp.roll(p, -1, 0)
+            + jnp.roll(p, 1, 1) + jnp.roll(p, -1, 1)
+            + jnp.roll(p, 1, 2) + jnp.roll(p, -1, 2)
+            - d
+        ) / 6.0
+        return p_n
+
+    p = jax.lax.fori_loop(0, cfg.jacobi_iters, jacobi, jnp.zeros_like(d))
+    vel = vel - jnp.stack(
+        [
+            jnp.gradient(p, axis=0),
+            jnp.gradient(p, axis=1),
+            jnp.gradient(p, axis=2),
+        ],
+        axis=-1,
+    )
+    # closed boundaries: zero normal velocity at the domain faces
+    vel = vel.at[0, :, :, 0].set(0.0).at[-1, :, :, 0].set(0.0)
+    vel = vel.at[:, 0, :, 1].set(0.0).at[:, -1, :, 1].set(0.0)
+    vel = vel.at[:, :, 0, 2].set(0.0).at[:, :, -1, 2].set(0.0)
+    return SmokeState(density=density, temperature=temp, velocity=vel)
+
+
+def simulate_smoke(
+    cfg: SmokeConfig,
+    inflow_mask: jax.Array,
+    num_frames: int,
+    inflow_frames: jax.Array | None = None,
+) -> SmokeState:
+    """Simulate the clip; returns stacked per-frame states (F, R, R, R...).
+
+    ``inflow_frames``: optional (F,) bool — fuel on/off per frame (the
+    keyframed fuel behavior / smoke events).
+    """
+    if inflow_frames is None:
+        inflow_frames = jnp.ones((num_frames,), bool)
+
+    @jax.jit
+    def run(state):
+        def frame(state, on):
+            state = step(
+                state, inflow_mask * on.astype(jnp.float32), cfg
+            )
+            return state, state
+
+        _, traj = jax.lax.scan(frame, state, inflow_frames)
+        return traj
+
+    return run(init_state(cfg))
+
+
+def sphere_inflow(cfg: SmokeConfig, center_cell, radius_cells) -> jax.Array:
+    coords = _grid_coords(cfg.resolution)
+    d = jnp.linalg.norm(coords - jnp.asarray(center_cell), axis=-1)
+    return (d < radius_cells).astype(jnp.float32)
+
+
+def blackbody_rgb(temperature: jax.Array) -> jax.Array:
+    """Cheap blackbody ramp 0..1 -> RGB (Infinigen-flame-ish)."""
+    t = jnp.clip(temperature, 0.0, 1.0)[..., None]
+    cold = jnp.array([0.6, 0.05, 0.0])
+    mid = jnp.array([1.0, 0.45, 0.05])
+    hot = jnp.array([1.0, 0.95, 0.7])
+    return jnp.where(
+        t < 0.5, cold + (mid - cold) * (2 * t), mid + (hot - mid) * (2 * t - 1)
+    )
+
+
+def smoke_to_gaussians(
+    density: jax.Array,
+    temperature: jax.Array,
+    origin: np.ndarray,
+    extent: float,
+    max_splats: int = 40_000,
+    density_threshold: float = 0.02,
+    smoke_color: float = 0.35,
+    with_fire: bool = False,
+    fire_temp_threshold: float = 0.4,
+) -> Gaussians:
+    """One frame's fields -> renderable splats (fixed capacity, masked)."""
+    r = density.shape[0]
+    cell = extent / r
+    coords = _grid_coords(r).reshape(-1, 3)
+    dens = density.reshape(-1)
+    temp = temperature.reshape(-1)
+
+    # keep the max_splats densest cells (static shape)
+    score = jnp.where(dens > density_threshold, dens, 0.0)
+    top, idx = jax.lax.top_k(score, min(max_splats, dens.shape[0]))
+    active = top > 0
+    pos = origin[None] + (coords[idx] + 0.5) * cell
+    d_sel = dens[idx]
+    t_sel = temp[idx]
+
+    alpha = jnp.clip(d_sel * 0.8, 0.0, 0.95)
+    op_logit = jnp.log(jnp.maximum(alpha, 1e-5) / jnp.maximum(1 - alpha, 1e-5))
+    if with_fire:
+        fire = t_sel > fire_temp_threshold
+        rgb = jnp.where(
+            fire[:, None],
+            blackbody_rgb(t_sel) * (1.0 + 2.0 * t_sel[:, None]),
+            jnp.full((1, 3), smoke_color),
+        )
+    else:
+        rgb = jnp.full((pos.shape[0], 3), smoke_color)
+
+    n = pos.shape[0]
+    return Gaussians(
+        xyz=pos,
+        sh_dc=rgb_to_sh(jnp.broadcast_to(rgb, (n, 3))),
+        sh_rest=jnp.zeros((n, 15, 3), jnp.float32),
+        log_scales=jnp.full((n, 3), jnp.log(cell * 0.9)),
+        quats=jnp.zeros((n, 4)).at[:, 0].set(1.0),
+        opacity_logit=op_logit,
+        active=active,
+    )

@@ -1,0 +1,205 @@
+"""Events, fracture, smoke/fire, panorama, video, checkpoint tests."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from autovfx_tpu.edit.events import (
+    compile_event_schedule,
+    physics_enabled_schedule,
+)
+from autovfx_tpu.edit.edit_ir import default_object_info
+
+
+class TestEvents:
+    def _objs(self):
+        a = default_object_info()
+        a["object_id"] = "a"
+        a["rigid_body"]["rb_type"] = "ACTIVE"
+        b = default_object_info()
+        b["object_id"] = "b"
+        return [a, b]
+
+    def test_schedule_window(self):
+        ev = [{"object_id": "a", "event_type": "fire", "start_frame": 3,
+               "end_frame": 6}]
+        s = compile_event_schedule(ev, ["a", "b"], 8)
+        fire = s["fire"]
+        assert not fire[:2, 0].any()
+        assert fire[2:5, 0].all()  # frames 3..5 (1-based)
+        assert not fire[5:, 0].any()
+        assert not fire[:, 1].any()
+
+    def test_default_end(self):
+        ev = [{"object_id": "b", "event_type": "smoke", "start_frame": 1,
+               "end_frame": None}]
+        s = compile_event_schedule(ev, ["a", "b"], 5)
+        assert s["smoke"][:, 1].all()
+
+    def test_physics_schedule(self):
+        objs = self._objs()
+        # no events: ACTIVE flag rules
+        sched = physics_enabled_schedule(objs, [], 4)
+        assert sched[:, 0].all() and not sched[:, 1].any()
+        # physics event window on b overrides
+        ev = [{"object_id": "b", "event_type": "physics",
+               "start_frame": 3, "end_frame": 5}]
+        sched = physics_enabled_schedule(objs, ev, 4)
+        assert sched[:, 0].all()
+        np.testing.assert_array_equal(sched[:, 1], [False, False, True, True])
+
+    def test_simulate_with_schedule(self):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_physics import box_verts, make_world, obj
+
+        from autovfx_tpu.physics.world import simulate
+
+        w = make_world([obj([0, 0, 3.0])], [box_verts()], with_ground=False)
+        sched = np.zeros((10, 1), bool)
+        sched[5:] = True  # physics starts at frame 6
+        final, pos, quat = simulate(w, 10, enabled_schedule=sched)
+        np.testing.assert_allclose(pos[:5, 0, 2], 3.0, atol=1e-6)
+        assert pos[-1, 0, 2] < 3.0  # falls afterwards
+
+
+class TestFracture:
+    def test_fracture_box(self):
+        from autovfx_tpu.physics.fracture import burst_velocities, fracture_mesh
+
+        v = np.array(
+            [
+                [x, y, z]
+                for x in (-0.5, 0.5)
+                for y in (-0.5, 0.5)
+                for z in (-0.5, 0.5)
+            ],
+            np.float32,
+        )
+        f = np.array(
+            [
+                [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+            ],
+            np.int64,
+        )
+        pieces = fracture_mesh(v, f, num_pieces=6, surface_samples=4000)
+        assert len(pieces.vertices) >= 4
+        np.testing.assert_allclose(pieces.mass_fractions.sum(), 1.0,
+                                   atol=1e-5)
+        # pieces stay within the box bounds (plus epsilon)
+        for pv in pieces.vertices:
+            assert (np.abs(pv) < 0.55).all()
+        vel = burst_velocities(
+            pieces, np.array([0, 0, -1.0]), np.zeros(3), np.zeros(3)
+        )
+        assert vel.shape == (len(pieces.vertices), 3)
+        # radial burst: pieces move away from the COM on average
+        radial = (vel - [0, 0, -1.0]) * pieces.centers
+        assert radial.sum() > 0
+
+
+class TestSmoke:
+    def test_rises_and_conserves(self):
+        from autovfx_tpu.render import smoke as SM
+
+        cfg = SM.SmokeConfig(resolution=24, jacobi_iters=10)
+        mask = SM.sphere_inflow(cfg, [12, 12, 4], 3.0)
+        traj = SM.simulate_smoke(cfg, mask, 12)
+        d = np.asarray(traj.density)
+        assert d.shape == (12, 24, 24, 24)
+        assert np.isfinite(d).all()
+        # plume rises: late-frame density center of mass above inflow
+        zs = np.arange(24)
+        com_z_early = (d[1].sum((0, 1)) * zs).sum() / max(d[1].sum(), 1e-9)
+        com_z_late = (d[-1].sum((0, 1)) * zs).sum() / max(d[-1].sum(), 1e-9)
+        assert com_z_late > com_z_early + 1.0
+
+    def test_to_gaussians_renderable(self):
+        from autovfx_tpu.core import cameras as C
+        from autovfx_tpu.ops.rasterize import RasterConfig, rasterize
+        from autovfx_tpu.render import smoke as SM
+
+        cfg = SM.SmokeConfig(resolution=16, jacobi_iters=5, with_fire=True)
+        mask = SM.sphere_inflow(cfg, [8, 8, 3], 2.5)
+        traj = SM.simulate_smoke(cfg, mask, 5)
+        g = SM.smoke_to_gaussians(
+            traj.density[-1], traj.temperature[-1],
+            np.zeros(3, np.float32), 1.0, max_splats=2000, with_fire=True,
+        )
+        assert int(g.num_active) > 10
+        cam = C.look_at_camera(
+            [2.5, 0, 0.5], [0.5, 0.5, 0.5], [0, 0, 1], fx=30.0, fy=30.0,
+            width=32, height=24,
+        )
+        out = rasterize(
+            g, cam, config=RasterConfig(dup_budget=1 << 14, backend="ref")
+        )
+        assert float(out.alpha.max()) > 0.2
+
+
+class TestPanorama:
+    def test_covers_sphere(self):
+        from autovfx_tpu.ops.rasterize import RasterConfig
+        from autovfx_tpu.render.panorama import render_panorama
+        from autovfx_tpu.utils.synthetic import make_gaussians
+
+        g = make_gaussians(400, jax.random.PRNGKey(0), spread=2.0,
+                           scale_range=(0.1, 0.3))
+        pano = render_panorama(
+            g, np.zeros(3), face_size=64, out_height=64,
+            config=RasterConfig(dup_budget=1 << 14, backend="ref"),
+        )
+        assert pano.shape == (64, 128, 3)
+        assert np.isfinite(pano).all()
+        assert (pano > 0.05).mean() > 0.3  # most directions see splats
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from autovfx_tpu.train.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+            save_snapshot,
+        )
+        from autovfx_tpu.train.trainer import init_state
+        from autovfx_tpu.utils.synthetic import make_gaussians
+
+        g = make_gaussians(32, jax.random.PRNGKey(0))
+        state = init_state(g)
+        state = state.replace(step=jnp.int32(123))
+        p = str(tmp_path / "ck.npz")
+        save_checkpoint(p, state)
+        s2 = load_checkpoint(p)
+        assert int(s2.step) == 123
+        np.testing.assert_allclose(
+            np.asarray(s2.gaussians.xyz), np.asarray(g.xyz)
+        )
+        snap = save_snapshot(str(tmp_path), state, 7000)
+        assert os.path.exists(snap)
+        assert os.path.exists(
+            tmp_path / "point_cloud/iteration_7000/point_cloud.ply"
+        )
+
+
+class TestVideo:
+    def test_render_trajectory(self, tmp_path):
+        from autovfx_tpu.core import cameras as C
+        from autovfx_tpu.ops.rasterize import RasterConfig
+        from autovfx_tpu.utils.synthetic import make_scene
+        from autovfx_tpu.utils.video import render_trajectory
+
+        g, cam = make_scene(n=60, width=32, height=24)
+        cams = C.stack_cameras([cam, cam])
+        frames = render_trajectory(
+            g, cams, str(tmp_path),
+            config=RasterConfig(dup_budget=1 << 13, backend="ref"),
+            video_path=str(tmp_path / "out.mp4"),
+        )
+        assert frames.shape == (2, 24, 32, 3)
+        assert os.path.exists(tmp_path / "images/00000.png")
+        assert os.path.exists(tmp_path / "depth/00000.npy")
