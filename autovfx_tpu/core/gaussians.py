@@ -206,12 +206,16 @@ class Gaussians:
         rotation_quat: Optional[jax.Array] = None,
         translation: Optional[jax.Array] = None,
         pivot: Optional[jax.Array] = None,
+        rotate_sh: bool = False,
     ) -> "Gaussians":
         """Rigid(+uniform scale) transform of the splat cloud.
 
         Parity: reference ``gaussians_utils.py:85-118`` (transform about the
         initial center: scale → rotate → translate; log-scale add, quaternion
         premultiply).  ``pivot`` defaults to the active-mass mean center.
+        ``rotate_sh`` additionally rotates the SH coefficients (the
+        reference computes transform_shs but leaves it disabled,
+        gaussians_utils.py:105 — opt-in here).
         """
         w = self.active.astype(jnp.float32)[:, None]
         if pivot is None:
@@ -231,7 +235,17 @@ class Gaussians:
         xyz = xyz + pivot
         if translation is not None:
             xyz = xyz + translation[None, :]
-        return self.replace(xyz=xyz, log_scales=log_scales, quats=quats)
+        out = self.replace(xyz=xyz, log_scales=log_scales, quats=quats)
+        if rotate_sh and rotation_quat is not None:
+            import numpy as _np
+
+            from autovfx_tpu.core.quaternion import quat_to_rotmat
+            from autovfx_tpu.core.sh_rotation import rotate_sh as _rot_sh
+
+            rot = _np.asarray(quat_to_rotmat(rotation_quat))
+            new_sh = _rot_sh(out.sh, rot)
+            out = out.replace(sh_dc=new_sh[:, 0], sh_rest=new_sh[:, 1:])
+        return out
 
 
 def merge(a: Gaussians, b: Gaussians) -> Gaussians:

@@ -257,14 +257,17 @@ class SceneRepresentation:
         world.state = world.state.replace(
             quat=jnp.asarray(np.stack(quats), jnp.float32)
         )
-        # per-frame physics windows from the event system
+        # per-frame physics windows from the event system + kinematic
+        # trajectory animations (FOLLOW_PATH analog)
         from autovfx_tpu.edit.events import physics_enabled_schedule
+        from autovfx_tpu.physics.animation import kinematic_schedule
 
         sched = physics_enabled_schedule(
             self.inserted_objects, self.events, self.total_frames
         )
+        kin = kinematic_schedule(self.inserted_objects, self.total_frames)
         final, pos, quat = simulate(
-            world, self.total_frames, enabled_schedule=sched
+            world, self.total_frames, enabled_schedule=sched, kinematic=kin
         )
         self.rb_transform = rb_transform_schema(world, pos, quat)
         self._world = world

@@ -133,7 +133,12 @@ class RigidWorld:
         )
 
 
-def simulate(world: RigidWorld, num_frames: int, enabled_schedule=None):
+def simulate(
+    world: RigidWorld,
+    num_frames: int,
+    enabled_schedule=None,
+    kinematic=None,
+):
     """Run the jitted frame loop; returns per-frame (pos, quat) plus the
     final BodyState.  pos/quat are COM trajectories (F, B, ...).
 
@@ -141,20 +146,58 @@ def simulate(world: RigidWorld, num_frames: int, enabled_schedule=None):
     physics on/off from the event system (edit/events.py), replacing the
     reference's per-frame Blender event handler
     (all_rendering.py:2028-2060).
+
+    ``kinematic``: optional {body_index: (pos (F,3), rot (F,3,3))} from
+    physics/animation.kinematic_schedule — bodies follow the prescribed
+    trajectory (FOLLOW_PATH analog) with velocities derived per frame so
+    they push ACTIVE bodies through the contact solver.
     """
     cfg = world.cfg
     shape, params, grid = world.shape, world.params, world.grid
+    b = world.state.pos.shape[0]
     if enabled_schedule is None:
         sched = jnp.broadcast_to(
-            params.enabled[None, :], (num_frames, params.enabled.shape[0])
+            params.enabled[None, :], (num_frames, b)
         )
     else:
         sched = jnp.asarray(np.asarray(enabled_schedule, bool))
 
+    kin_mask = np.zeros((b,), bool)
+    kin_pos = np.zeros((num_frames, b, 3), np.float32)
+    kin_quat = np.zeros((num_frames, b, 4), np.float32)
+    kin_quat[..., 0] = 1.0
+    if kinematic:
+        for i, (pos_f, rot_f) in kinematic.items():
+            kin_mask[i] = True
+            rots = jnp.asarray(np.asarray(rot_f, np.float32))
+            qs = np.asarray(rotmat_to_quat(rots))
+            # prescribe the COM trajectory: com = pos + R·com_offset
+            com = pos_f + np.einsum(
+                "fij,j->fi", np.asarray(rot_f), world.com_offsets[i]
+            )
+            kin_pos[:, i] = com[:num_frames]
+            kin_quat[:, i] = qs[:num_frames]
+    kin_mask_j = jnp.asarray(kin_mask)
+    kin_pos_j = jnp.asarray(kin_pos)
+    kin_quat_j = jnp.asarray(kin_quat)
+    # next-frame targets for velocity derivation
+    kin_pos_next = jnp.concatenate([kin_pos_j[1:], kin_pos_j[-1:]], axis=0)
+
     @jax.jit
     def run(state, sched):
-        def frame(state, enabled_f):
+        def frame(state, inputs):
+            enabled_f, pos_f, quat_f, pos_next = inputs
             params_f = params.replace(enabled=enabled_f)
+            if bool(np.any(kin_mask)):
+                vel_kin = (pos_next - pos_f) * cfg.fps
+                m = kin_mask_j[:, None]
+                state = state.replace(
+                    pos=jnp.where(m, pos_f, state.pos),
+                    quat=jnp.where(m, quat_f, state.quat),
+                    linvel=jnp.where(m, vel_kin, state.linvel),
+                    angvel=jnp.where(m, 0.0, state.angvel),
+                    asleep=state.asleep & ~kin_mask_j,
+                )
 
             def sub(s, _):
                 return S.substep(shape, s, params_f, grid, cfg), None
@@ -164,7 +207,9 @@ def simulate(world: RigidWorld, num_frames: int, enabled_schedule=None):
             )
             return state, (state.pos, state.quat)
 
-        final, traj = jax.lax.scan(frame, state, sched)
+        final, traj = jax.lax.scan(
+            frame, state, (sched, kin_pos_j, kin_quat_j, kin_pos_next)
+        )
         return final, traj
 
     final, (pos, quat) = run(world.state, sched)

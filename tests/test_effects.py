@@ -203,3 +203,73 @@ class TestVideo:
         assert frames.shape == (2, 24, 32, 3)
         assert os.path.exists(tmp_path / "images/00000.png")
         assert os.path.exists(tmp_path / "depth/00000.npy")
+
+
+class TestAnimation:
+    def test_trajectory_interpolation(self):
+        from autovfx_tpu.physics.animation import interpolate_trajectory
+
+        pts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0]], np.float64)
+        pos, tang = interpolate_trajectory(pts, 9)
+        np.testing.assert_allclose(pos[0], [0, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(pos[-1], [1, 1, 0], atol=1e-6)
+        # arc-length uniform: midpoint of total length 2 is the corner
+        np.testing.assert_allclose(pos[4], [1, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(tang[0], [1, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(tang[-1], [0, 1, 0], atol=1e-6)
+
+    def test_kinematic_body_follows_and_pushes(self):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_physics import box_verts, make_world, obj
+
+        from autovfx_tpu.physics.animation import kinematic_schedule
+        from autovfx_tpu.physics.world import simulate
+
+        mover = obj([0, 0, 0.5], rb_type="KINEMATIC", name="mover")
+        mover["animation"] = {
+            "type": "trajectory",
+            "points": [[-2, 0, 0.5], [2, 0, 0.5]],
+        }
+        target = obj([1.0, 0, 0.55], name="target", restitution=0.2)
+        w = make_world([mover, target], [box_verts(0.4), box_verts(0.4)])
+        kin = kinematic_schedule([mover, target], 20)
+        assert 0 in kin and 1 not in kin
+        final, pos, quat = simulate(w, 20, kinematic=kin)
+        # mover follows the path (recorded after each frame's integration)
+        assert pos[0, 0, 0] < -1.5
+        np.testing.assert_allclose(pos[-1, 0, :2], [2, 0], atol=0.25)
+        np.testing.assert_allclose(pos[:, 0, 1], 0.0, atol=1e-4)
+        # target got pushed in +x
+        assert pos[-1, 1, 0] > 1.3
+
+
+class TestSHRotation:
+    def test_rotation_matches_resampling(self):
+        import jax
+
+        from autovfx_tpu.core import sh as SH
+        from autovfx_tpu.core.sh_rotation import (
+            _fibonacci_dirs,
+            rotate_sh,
+        )
+        from autovfx_tpu.core.quaternion import quat_from_axis_angle, quat_to_rotmat
+
+        key = jax.random.PRNGKey(0)
+        coeffs = jax.random.normal(key, (4, 16, 3))
+        q = quat_from_axis_angle(
+            jnp.asarray(np.array([0.3, 0.5, 0.81])) / np.linalg.norm([0.3, 0.5, 0.81]),
+            jnp.asarray(0.9),
+        )
+        rot = np.asarray(quat_to_rotmat(q))
+        rotated = rotate_sh(coeffs, rot)
+        # check: rotated(d) == original(d @ R) at spread directions
+        dirs = _fibonacci_dirs(20).astype(np.float32)
+        v_rot = SH.eval_sh(3, jnp.repeat(rotated[:1], 20, 0),
+                           jnp.asarray(dirs))
+        v_orig = SH.eval_sh(3, jnp.repeat(coeffs[:1], 20, 0),
+                            jnp.asarray(dirs @ rot))
+        np.testing.assert_allclose(
+            np.asarray(v_rot), np.asarray(v_orig), atol=1e-4
+        )
