@@ -60,8 +60,8 @@ class BinnedSplats(NamedTuple):
     overflow: jax.Array  # () bool — budget exceeded, render truncated
 
 
-def num_tiles(width: int, height: int) -> tuple[int, int]:
-    return (width + TILE - 1) // TILE, (height + TILE - 1) // TILE
+def num_tiles(width: int, height: int, tile: int = TILE) -> tuple[int, int]:
+    return (width + tile - 1) // tile, (height + tile - 1) // tile
 
 
 def _pack_rect(tmin_x, tmin_y, rect_w):
@@ -95,8 +95,15 @@ def bin_splats(
     width: int,
     height: int,
     dup_budget: int,
+    tile: int = TILE,
+    chunk: int = CHUNK,
 ) -> BinnedSplats:
-    tiles_x, tiles_y = num_tiles(width, height)
+    CHUNK = chunk  # noqa: N806 — local chunk size
+    if chunk % 128:
+        raise ValueError(
+            "chunk must be a multiple of 128 (Mosaic DMA lane alignment)"
+        )
+    tiles_x, tiles_y = num_tiles(width, height, tile)
     n_tiles = tiles_x * tiles_y
     n = splats.depth.shape[0]
     if dup_budget % CHUNK:
@@ -197,10 +204,13 @@ def bin_splats(
     )
 
 
-def required_budget(splats: Splats2D, width: int, height: int) -> jax.Array:
+def required_budget(
+    splats: Splats2D, width: int, height: int,
+    tile: int = TILE, chunk: int = CHUNK,
+) -> jax.Array:
     """Padded duplicate count for this view (host-side budget sizing)."""
-    tiles_x, tiles_y = num_tiles(width, height)
-    return jnp.sum(splats.tiles_touched) + tiles_x * tiles_y * CHUNK
+    tiles_x, tiles_y = num_tiles(width, height, tile)
+    return jnp.sum(splats.tiles_touched) + tiles_x * tiles_y * chunk
 
 
 def round_budget(n: int, multiple: int = 4 * CHUNK, slack: float = 1.25) -> int:

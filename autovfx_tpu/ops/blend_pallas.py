@@ -47,7 +47,6 @@ from autovfx_tpu.ops.blend_ref import (
     ALPHA_MAX,
     ALPHA_MIN,
     T_EPS,
-    TILE_PIXELS,
     TileImages,
 )
 from autovfx_tpu.ops.projection import TILE, Splats2D
@@ -58,20 +57,20 @@ NEG_INF = -1e30
 LOG_OP_MIN = -100.0  # stand-in for log(0) on inert slots
 
 
-def _pixel_basis():
-    """(6, 256) quadratic basis over tile-local pixel coords."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
-    rx = (p % TILE).astype(jnp.float32)
-    ry = (p // TILE).astype(jnp.float32)
+def _pixel_basis(tile: int = TILE):
+    """(6, tile²) quadratic basis over tile-local pixel coords."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, tile * tile), 1)
+    rx = (p % tile).astype(jnp.float32)
+    ry = (p // tile).astype(jnp.float32)
     return jnp.concatenate(
         [jnp.ones_like(rx), rx, ry, rx * rx, rx * ry, ry * ry], axis=0
     )
 
 
-def _tri_strict():
-    """(CHUNK, CHUNK) strictly-lower-triangular ones (prefix-sum matmul)."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+def _tri_strict(chunk: int = CHUNK):
+    """(chunk, chunk) strictly-lower-triangular ones (prefix-sum matmul)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     return (j < i).astype(jnp.float32)
 
 
@@ -119,22 +118,23 @@ def _chunk_alpha(f, basis, ones_p, ox, oy):
 
 def _fwd_kernel(
     tile_start_ref, tile_chunks_ref, feat_ref, out_ref, fbuf, sems,
-    *, tiles_x: int,
+    *, tiles_x: int, tile: int, chunk: int,
 ):
+    P = tile * tile  # noqa: N806
     t = pl.program_id(0)
     start = tile_start_ref[t]
     n_chunks = tile_chunks_ref[t]
-    ox = ((t % tiles_x) * TILE).astype(jnp.float32)
-    oy = ((t // tiles_x) * TILE).astype(jnp.float32)
+    ox = ((t % tiles_x) * tile).astype(jnp.float32)
+    oy = ((t // tiles_x) * tile).astype(jnp.float32)
 
-    basis = _pixel_basis()
-    tri = _tri_strict()
-    ones_p = jnp.ones((1, TILE_PIXELS), jnp.float32)
+    basis = _pixel_basis(tile)
+    tri = _tri_strict(chunk)
+    ones_p = jnp.ones((1, P), jnp.float32)
 
     def chunk_dma(slot, c):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        off = pl.multiple_of(start + c * chunk, chunk)
         return pltpu.make_async_copy(
-            feat_ref.at[:, pl.ds(off, CHUNK)],
+            feat_ref.at[:, pl.ds(off, chunk)],
             fbuf.at[slot],
             sems.at[slot],
         )
@@ -182,7 +182,7 @@ def _fwd_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )  # (4, P)
         acc = acc + jnp.concatenate(
-            [contrib, jnp.zeros((OUT_ROWS - 4, TILE_PIXELS), jnp.float32)],
+            [contrib, jnp.zeros((OUT_ROWS - 4, P), jnp.float32)],
             axis=0,
         )
         logT_new = jnp.maximum(
@@ -195,9 +195,9 @@ def _fwd_kernel(
 
     init = (
         jnp.int32(0),
-        jnp.zeros((1, TILE_PIXELS), jnp.float32),
-        jnp.zeros((1, TILE_PIXELS), jnp.float32),
-        jnp.zeros((OUT_ROWS, TILE_PIXELS), jnp.float32),
+        jnp.zeros((1, P), jnp.float32),
+        jnp.zeros((1, P), jnp.float32),
+        jnp.zeros((OUT_ROWS, P), jnp.float32),
     )
     c_fin, logT, _, acc = jax.lax.while_loop(cond, body, init)
 
@@ -213,46 +213,56 @@ def _fwd_kernel(
     out_ref[0] = jnp.where(row == 4, alpha_row, acc)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _blend_core(feat, tile_start, tile_chunks, n_tiles, tiles_x):
-    return _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _blend_core(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
+                chunk):
+    return _blend_fwd_call(
+        feat, tile_start, tile_chunks, n_tiles, tiles_x, tile, chunk
+    )
 
 
-def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x):
+def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
+                    chunk):
+    P = tile * tile  # noqa: N806
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, OUT_ROWS, TILE_PIXELS),
+            (1, OUT_ROWS, P),
             lambda t, *_: (t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, tiles_x=tiles_x),
+        functools.partial(
+            _fwd_kernel, tiles_x=tiles_x, tile=tile, chunk=chunk
+        ),
         out_shape=jax.ShapeDtypeStruct(
-            (n_tiles, OUT_ROWS, TILE_PIXELS), jnp.float32
+            (n_tiles, OUT_ROWS, P), jnp.float32
         ),
         grid_spec=grid_spec,
     )(tile_start, tile_chunks, feat)
 
 
-def _blend_fwd_rule(feat, tile_start, tile_chunks, n_tiles, tiles_x):
-    out = _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x)
+def _blend_fwd_rule(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
+                    chunk):
+    out = _blend_fwd_call(
+        feat, tile_start, tile_chunks, n_tiles, tiles_x, tile, chunk
+    )
     return out, (feat, tile_start, tile_chunks)
 
 
-def _blend_bwd_rule(n_tiles, tiles_x, res, g_out):
+def _blend_bwd_rule(n_tiles, tiles_x, tile, chunk, res, g_out):
     from autovfx_tpu.ops.blend_pallas_bwd import blend_bwd_call
 
     feat, tile_start, tile_chunks = res
     d_feat = blend_bwd_call(
-        feat, tile_start, tile_chunks, g_out, n_tiles, tiles_x
+        feat, tile_start, tile_chunks, g_out, n_tiles, tiles_x, tile, chunk
     )
     return d_feat, None, None
 
@@ -295,7 +305,9 @@ def pack_gaussian_features(splats: Splats2D) -> jax.Array:
     return jnp.concatenate([feat, dummy], axis=1)  # (16, N+1)
 
 
-def blend_tiles_pallas(binned: BinnedSplats, feat_dup) -> TileImages:
+def blend_tiles_pallas(
+    binned: BinnedSplats, feat_dup, tile: int = TILE, chunk: int = CHUNK
+) -> TileImages:
     """feat_dup: (16, K) duplicate features (already gathered)."""
     n_tiles = binned.num_tiles_x * binned.num_tiles_y
     out = _blend_core(
@@ -304,7 +316,9 @@ def blend_tiles_pallas(binned: BinnedSplats, feat_dup) -> TileImages:
         binned.tile_chunks,
         n_tiles,
         binned.num_tiles_x,
-    )  # (T, 8, 256)
+        tile,
+        chunk,
+    )  # (T, 8, tile²)
     return TileImages(
         color=jnp.moveaxis(out[:, 0:3, :], 1, 2),  # (T, 256, 3)
         depth=out[:, 3, :],

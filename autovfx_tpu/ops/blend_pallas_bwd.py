@@ -39,13 +39,13 @@ from autovfx_tpu.ops.blend_pallas import (
     _pixel_basis,
     _tri_strict,
 )
-from autovfx_tpu.ops.blend_ref import T_EPS, TILE_PIXELS
+from autovfx_tpu.ops.blend_ref import T_EPS
 from autovfx_tpu.ops.projection import TILE
 
 
-def _tri_incl():
-    i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+def _tri_incl(chunk: int = CHUNK):
+    i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     return (j <= i).astype(jnp.float32)
 
 
@@ -72,25 +72,28 @@ def _bwd_kernel(
     wsem,
     *,
     tiles_x: int,
+    tile: int,
+    chunk: int,
 ):
+    P = tile * tile  # noqa: N806
     t = pl.program_id(0)
     start = tile_start_ref[t]
     n_chunks = tile_chunks_ref[t]
-    ox = ((t % tiles_x) * TILE).astype(jnp.float32)
-    oy = ((t // tiles_x) * TILE).astype(jnp.float32)
+    ox = ((t % tiles_x) * tile).astype(jnp.float32)
+    oy = ((t // tiles_x) * tile).astype(jnp.float32)
 
-    basis = _pixel_basis()
-    tri_s = _tri_strict()
-    tri_i = _tri_incl()
-    ones_p = jnp.ones((1, TILE_PIXELS), jnp.float32)
+    basis = _pixel_basis(tile)
+    tri_s = _tri_strict(chunk)
+    tri_i = _tri_incl(chunk)
+    ones_p = jnp.ones((1, P), jnp.float32)
 
     gvec = g_out_ref[0, 0:4, :]  # (4, P) rgb+depth grads
     g_alpha = g_out_ref[0, 4:5, :]  # (1, P)
 
     def chunk_dma(slot, c):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        off = pl.multiple_of(start + c * chunk, chunk)
         return pltpu.make_async_copy(
-            feat_ref.at[:, pl.ds(off, CHUNK)],
+            feat_ref.at[:, pl.ds(off, chunk)],
             fbuf.at[slot],
             sems.at[slot],
         )
@@ -139,7 +142,7 @@ def _bwd_kernel(
         ftot = ftot + jnp.sum(wf, axis=0, keepdims=True)
         return c + 1, logT_new, done_new, ftot
 
-    zero_row = jnp.zeros((1, TILE_PIXELS), jnp.float32)
+    zero_row = jnp.zeros((1, P), jnp.float32)
     c_fin_a, logT_fin, _, ftot = jax.lax.while_loop(
         cond_a, body_a, (jnp.int32(0), zero_row, zero_row, zero_row)
     )
@@ -210,14 +213,14 @@ def _bwd_kernel(
                 dcc,
                 d_lop,
                 d_cols,
-                jnp.zeros((FEAT - 10, CHUNK), jnp.float32),
+                jnp.zeros((FEAT - 10, chunk), jnp.float32),
             ],
             axis=0,
         )  # (FEAT, C)
         gbuf[...] = grad
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        off = pl.multiple_of(start + c * chunk, chunk)
         wdma = pltpu.make_async_copy(
-            gbuf, d_feat_ref.at[:, pl.ds(off, CHUNK)], wsem
+            gbuf, d_feat_ref.at[:, pl.ds(off, chunk)], wsem
         )
         wdma.start()
         wdma.wait()
@@ -234,14 +237,15 @@ def _bwd_kernel(
         chunk_dma(jax.lax.rem(c_fin_b, 2), c_fin_b).wait()
 
 
-def blend_bwd_call(feat, tile_start, tile_chunks, g_out, n_tiles, tiles_x):
+def blend_bwd_call(feat, tile_start, tile_chunks, g_out, n_tiles, tiles_x,
+                   tile=TILE, chunk=CHUNK):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # feat
             pl.BlockSpec(
-                (1, OUT_ROWS, TILE_PIXELS),
+                (1, OUT_ROWS, tile * tile),
                 lambda t, *_: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),  # g_out
@@ -249,15 +253,16 @@ def blend_bwd_call(feat, tile_start, tile_chunks, g_out, n_tiles, tiles_x):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
-            pltpu.VMEM((FEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
+            pltpu.VMEM((FEAT, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     zeros = jnp.zeros_like(feat)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, tiles_x=tiles_x),
+        functools.partial(_bwd_kernel, tiles_x=tiles_x, tile=tile,
+                          chunk=chunk),
         out_shape=jax.ShapeDtypeStruct(feat.shape, jnp.float32),
         grid_spec=grid_spec,
         input_output_aliases={4: 0},  # zeros input (after 2 scalar args)

@@ -38,9 +38,9 @@ class TileImages(NamedTuple):
     alpha: jax.Array  # (T, 256)
 
 
-def _pixel_offsets():
-    p = jnp.arange(TILE_PIXELS, dtype=jnp.float32)
-    return p % TILE, p // TILE  # (256,), (256,)
+def _pixel_offsets(tile: int = TILE):
+    p = jnp.arange(tile * tile, dtype=jnp.float32)
+    return p % tile, p // tile
 
 
 def compute_alpha(mean2d, conic, opacity, px, py):
@@ -63,15 +63,16 @@ def blend_tiles_ref(
     color: jax.Array,  # (K, 3)
     opacity: jax.Array,  # (K,) — 0 for invalid slots
     depth: jax.Array,  # (K,)
+    tile: int = TILE,
 ) -> TileImages:
     k = mean2d.shape[0]
     n_tiles = binned.tile_start.shape[0]
     tiles_x = binned.num_tiles_x
 
     # Per-duplicate pixel coordinates of its tile.
-    ox = (binned.tile % tiles_x).astype(jnp.float32) * TILE
-    oy = (binned.tile // tiles_x).astype(jnp.float32) * TILE
-    px_off, py_off = _pixel_offsets()
+    ox = (binned.tile % tiles_x).astype(jnp.float32) * tile
+    oy = (binned.tile // tiles_x).astype(jnp.float32) * tile
+    px_off, py_off = _pixel_offsets(tile)
     px = ox[:, None] + px_off[None, :]  # (K, 256)
     py = oy[:, None] + py_off[None, :]
 
@@ -113,7 +114,9 @@ def blend_tiles_ref(
     return TileImages(color=tile_color, depth=tile_depth, alpha=tile_alpha)
 
 
-def blend_tiles_ref_from_feat(binned: BinnedSplats, feat_dup) -> TileImages:
+def blend_tiles_ref_from_feat(
+    binned: BinnedSplats, feat_dup, tile: int = TILE
+) -> TileImages:
     """Adapter: consume the packed (16, K) duplicate feature rows
     (blend_pallas.pack_gaussian_features layout)."""
     mean2d = jnp.stack([feat_dup[0], feat_dup[1]], axis=-1)
@@ -121,16 +124,19 @@ def blend_tiles_ref_from_feat(binned: BinnedSplats, feat_dup) -> TileImages:
     opacity = jnp.exp(feat_dup[5])
     color = jnp.stack([feat_dup[6], feat_dup[7], feat_dup[8]], axis=-1)
     depth = feat_dup[9]
-    return blend_tiles_ref(binned, mean2d, conic, color, opacity, depth)
+    return blend_tiles_ref(
+        binned, mean2d, conic, color, opacity, depth, tile=tile
+    )
 
 
 def assemble_image(
-    tile_img: jax.Array, tiles_x: int, tiles_y: int, width: int, height: int
+    tile_img: jax.Array, tiles_x: int, tiles_y: int, width: int,
+    height: int, tile: int = TILE,
 ) -> jax.Array:
-    """(T, 256, C?) tile buffers -> (H, W, C?) image (crop padded edge)."""
+    """(T, tile², C?) tile buffers -> (H, W, C?) image (crop padding)."""
     c_shape = tile_img.shape[2:]
-    img = tile_img.reshape((tiles_y, tiles_x, TILE, TILE) + c_shape)
+    img = tile_img.reshape((tiles_y, tiles_x, tile, tile) + c_shape)
     img = jnp.swapaxes(img, 1, 2).reshape(
-        (tiles_y * TILE, tiles_x * TILE) + c_shape
+        (tiles_y * tile, tiles_x * tile) + c_shape
     )
     return img[:height, :width]

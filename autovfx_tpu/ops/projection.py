@@ -67,6 +67,7 @@ def preprocess(
     override_color: jax.Array | None = None,
     sh_degree: int | None = None,
     mean2d_offset: jax.Array | None = None,
+    tile: int = TILE,
 ) -> Splats2D:
     """Project all Gaussians to screen space.
 
@@ -75,8 +76,8 @@ def preprocess(
     ``screenspace_points`` trick, gaussian_renderer/__init__.py:91-96).
     """
     w, h = cam.width, cam.height
-    tiles_x = (w + TILE - 1) // TILE
-    tiles_y = (h + TILE - 1) // TILE
+    tiles_x = (w + tile - 1) // tile
+    tiles_y = (h + tile - 1) // tile
 
     # View transform (elementwise — see utils/linalg.py on why not @).
     p_view = transform_points(g.xyz, cam.R, cam.t)  # (N, 3)
@@ -153,13 +154,13 @@ def preprocess(
     # Tile rect (getRect, auxiliary.h).
     px = mean2d[:, 0]
     py = mean2d[:, 1]
-    rmin_x = jnp.clip(((px - radius_f) / TILE).astype(jnp.int32), 0, tiles_x)
-    rmin_y = jnp.clip(((py - radius_f) / TILE).astype(jnp.int32), 0, tiles_y)
+    rmin_x = jnp.clip(((px - radius_f) / tile).astype(jnp.int32), 0, tiles_x)
+    rmin_y = jnp.clip(((py - radius_f) / tile).astype(jnp.int32), 0, tiles_y)
     rmax_x = jnp.clip(
-        ((px + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_x
+        ((px + radius_f + tile - 1) / tile).astype(jnp.int32), 0, tiles_x
     )
     rmax_y = jnp.clip(
-        ((py + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_y
+        ((py + radius_f + tile - 1) / tile).astype(jnp.int32), 0, tiles_y
     )
     area = (rmax_x - rmin_x) * (rmax_y - rmin_y)
     valid = valid & (area > 0) & g.active

@@ -28,7 +28,10 @@ import numpy as np
 WIDTH = int(os.environ["BENCH_WIDTH"])
 HEIGHT = int(os.environ["BENCH_HEIGHT"])
 N_GAUSS = int(os.environ.get("BENCH_GAUSSIANS", 1_000_000))
-DUP_BUDGET = int(os.environ.get("BENCH_DUP_BUDGET", 6_291_456))
+TILE = int(os.environ.get("BENCH_TILE", 32))
+CHUNK = int(os.environ.get("BENCH_CHUNK", 256 if TILE == 16 else 128))
+_default_budget = 6_291_456 if TILE == 16 else 2_621_440
+DUP_BUDGET = int(os.environ.get("BENCH_DUP_BUDGET", _default_budget))
 FRAMES = int(os.environ.get("BENCH_FRAMES", 8))
 BASELINE_FPS = 60.0
 
@@ -54,7 +57,9 @@ def main():
             for a in np.linspace(0, 2 * np.pi, FRAMES, endpoint=False)
         ]
     )
-    cfg = RasterConfig(dup_budget=DUP_BUDGET, backend=backend)
+    cfg = RasterConfig(
+        dup_budget=DUP_BUDGET, backend=backend, tile=TILE, chunk=CHUNK
+    )
     bg = jnp.zeros((3,), jnp.float32)
 
     @jax.jit
@@ -82,7 +87,7 @@ def main():
             {
                 "metric": (
                     f"garden-like {WIDTH}x{HEIGHT} novel-view render FPS/chip "
-                    f"({N_GAUSS} splats, {backend} backend)"
+                    f"({N_GAUSS} splats, {backend} backend, tile={TILE})"
                 ),
                 "value": round(fps, 2),
                 "unit": "frames/s",

@@ -209,3 +209,40 @@ class TestRenderDict:
         norms = np.linalg.norm(n, axis=-1)
         covered = np.asarray(out.rgba[..., 3]) > 0.5
         np.testing.assert_allclose(norms[covered], 1.0, atol=1e-3)
+
+
+class TestTile32:
+    def test_tile32_matches_tile16(self):
+        g, cam = make_scene(n=250, width=64, height=64, key=7)
+        bg = jnp.array([0.2, 0.1, 0.4])
+        out16 = rasterize(
+            g, cam, bg=bg,
+            config=RasterConfig(dup_budget=1 << 15, backend="ref", tile=16),
+        )
+        out32 = rasterize(
+            g, cam, bg=bg,
+            config=RasterConfig(
+                dup_budget=1 << 15, backend="ref", tile=32, chunk=128
+            ),
+        )
+        # tile rects quantize the alpha>=1/255 cutoff differently at the
+        # two tile sizes; a handful of boundary pixels may legitimately
+        # differ (the 32px rect sees slightly more of each gaussian)
+        dc = np.abs(np.asarray(out32.color) - np.asarray(out16.color))
+        da = np.abs(np.asarray(out32.alpha) - np.asarray(out16.alpha))
+        assert (dc.max(-1) < 1e-4).mean() > 0.999
+        assert dc.max() < 0.02
+        assert (da < 1e-4).mean() > 0.999
+
+    def test_tile32_gradients(self):
+        g, cam = make_scene(n=40, width=32, height=32, key=8)
+        cfg = RasterConfig(dup_budget=1 << 13, backend="ref", tile=32,
+                           chunk=128)
+
+        def loss(xyz):
+            return jnp.mean(
+                rasterize(g.replace(xyz=xyz), cam, config=cfg).color ** 2
+            )
+
+        grad = jax.grad(loss)(g.xyz)
+        assert np.isfinite(np.asarray(grad)).all()
