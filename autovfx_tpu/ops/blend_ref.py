@@ -129,6 +129,19 @@ def blend_tiles_ref_from_feat(
     )
 
 
+def assemble_rows(
+    out_rows: jax.Array, tiles_x: int, tiles_y: int, width: int,
+    height: int, tile: int = TILE,
+) -> jax.Array:
+    """(T, R, tile²) kernel output -> (R, H, W) in one relayout."""
+    r = out_rows.shape[1]
+    img = out_rows.reshape(tiles_y, tiles_x, r, tile, tile)
+    img = jnp.transpose(img, (2, 0, 3, 1, 4)).reshape(
+        r, tiles_y * tile, tiles_x * tile
+    )
+    return img[:, :height, :width]
+
+
 def assemble_image(
     tile_img: jax.Array, tiles_x: int, tiles_y: int, width: int,
     height: int, tile: int = TILE,

@@ -90,25 +90,32 @@ def rasterize(
     feat_dup = feat_g[:, binned.gid]  # (16, K)
 
     backend = _select_backend(config.backend)
+    tx, ty = binned.num_tiles_x, binned.num_tiles_y
     if backend == "pallas":
-        tiles = blend_pallas.blend_tiles_pallas(
-            binned, feat_dup, tile=config.tile, chunk=config.chunk
-        )
+        n_tiles = tx * ty
+        out_rows = blend_pallas._blend_core(
+            feat_dup, binned.tile_start, binned.tile_chunks,
+            n_tiles, tx, config.tile, config.chunk,
+        )  # (T, 8, tile²)
+        rows = blend_ref.assemble_rows(
+            out_rows, tx, ty, cam.width, cam.height, tile=config.tile
+        )  # (8, H, W) in one relayout
+        img_color = jnp.moveaxis(rows[0:3], 0, -1)
+        img_depth = rows[3]
+        img_alpha = rows[4]
     else:
         tiles = blend_ref.blend_tiles_ref_from_feat(
             binned, feat_dup, tile=config.tile
         )
-
-    tx, ty = binned.num_tiles_x, binned.num_tiles_y
-    img_color = blend_ref.assemble_image(
-        tiles.color, tx, ty, cam.width, cam.height, tile=config.tile
-    )
-    img_depth = blend_ref.assemble_image(
-        tiles.depth, tx, ty, cam.width, cam.height, tile=config.tile
-    )
-    img_alpha = blend_ref.assemble_image(
-        tiles.alpha, tx, ty, cam.width, cam.height, tile=config.tile
-    )
+        img_color = blend_ref.assemble_image(
+            tiles.color, tx, ty, cam.width, cam.height, tile=config.tile
+        )
+        img_depth = blend_ref.assemble_image(
+            tiles.depth, tx, ty, cam.width, cam.height, tile=config.tile
+        )
+        img_alpha = blend_ref.assemble_image(
+            tiles.alpha, tx, ty, cam.width, cam.height, tile=config.tile
+        )
     img_color = img_color + (1.0 - img_alpha)[..., None] * bg
 
     return RenderOutput(
