@@ -266,12 +266,165 @@ class SceneRepresentation:
             self.inserted_objects, self.events, self.total_frames
         )
         kin = kinematic_schedule(self.inserted_objects, self.total_frames)
-        final, pos, quat = simulate(
-            world, self.total_frames, enabled_schedule=sched, kinematic=kin
+
+        # break events: segment the simulation at the earliest break frame
+        # (all_rendering.py break handler + cell-fracture :1503-1634)
+        break_frames = {}
+        for ev in self.events:
+            if ev["event_type"] == "break":
+                break_frames[ev["object_id"]] = int(
+                    ev.get("start_frame") or self.total_frames // 2
+                ) - 1
+        for o in self.inserted_objects:
+            if o.get("break") and o["object_id"] not in break_frames:
+                break_frames[o["object_id"]] = self.total_frames // 2
+
+        self._fragments = {}
+        if not break_frames:
+            final, pos, quat = simulate(
+                world, self.total_frames, enabled_schedule=sched,
+                kinematic=kin,
+            )
+            self.rb_transform = rb_transform_schema(world, pos, quat)
+            self._world = world
+            self._world_traj = (pos, quat)
+            return self.rb_transform
+
+        f_break = max(min(break_frames.values()), 1)
+        final1, pos1, quat1 = simulate(
+            world, f_break, enabled_schedule=sched[:f_break], kinematic=kin
         )
-        self.rb_transform = rb_transform_schema(world, pos, quat)
-        self._world = world
-        self._world_traj = (pos, quat)
+        rb1 = rb_transform_schema(world, pos1, quat1)
+
+        # shatter the breaking objects; build the segment-2 world
+        from autovfx_tpu.core.quaternion import quat_to_rotmat
+        from autovfx_tpu.physics.fracture import (
+            burst_velocities,
+            fracture_mesh,
+        )
+
+        objects2, verts2, linvels2 = [], [], []
+        keep_map = []  # segment-2 body index -> (kind, ref)
+        st = final1
+        for i, o in enumerate(objects):
+            oid = o["object_id"]
+            if oid not in break_frames:
+                objects2.append(o)
+                verts2.append(verts[i])
+                linvels2.append(np.asarray(st.linvel[i]))
+                keep_map.append(("body", i))
+                continue
+            mesh = self._load_mesh(o["object_path"])
+            if not o.get("from_3DGS", False):
+                mesh = mesh.normalized_to_unit_box()
+            pieces = fracture_mesh(mesh.vertices, mesh.faces, num_pieces=8)
+            rot_i = np.asarray(quat_to_rotmat(st.quat[i]))
+            com_i = np.asarray(st.pos[i])
+            scale_i = float(o.get("scale", 1.0))
+            vels = burst_velocities(
+                pieces,
+                np.asarray(st.linvel[i]),
+                np.asarray(st.angvel[i]),
+                np.zeros(3),
+            )
+            origin_i = com_i - rot_i @ (
+                world.com_offsets[i]
+            )
+            rb_parent = o.get("rigid_body") or {}
+            for pi, (pv, pf) in enumerate(
+                zip(pieces.vertices, pieces.faces)
+            ):
+                frag_id = f"{oid}_frag{pi}"
+                frag_obj = {
+                    "object_id": frag_id,
+                    "object_name": frag_id,
+                    "pos": origin_i,
+                    "rot": rot_i,
+                    "scale": scale_i,
+                    "rigid_body": {
+                        "rb_type": "ACTIVE",
+                        "mass": float(
+                            rb_parent.get("mass", 1.0)
+                            * pieces.mass_fractions[pi]
+                        ),
+                        "restitution": float(
+                            rb_parent.get("restitution", 0.5)
+                        ),
+                    },
+                }
+                objects2.append(frag_obj)
+                verts2.append(pv)
+                linvels2.append(vels[pi])
+                keep_map.append(("frag", (oid, pi)))
+                self._fragments.setdefault(oid, []).append(
+                    {
+                        "object": frag_obj,
+                        "vertices": pv,
+                        "faces": pf,
+                        "visible_from": f_break,
+                        "material": o.get("material"),
+                    }
+                )
+
+        world2 = RigidWorld.from_objects(
+            objects2, verts2, scene_vertices=sv, scene_faces=sf, cfg=cfg
+        )
+        # carry over segment-1 end state for surviving bodies
+        pos2 = np.asarray(world2.state.pos).copy()
+        quat2 = np.asarray(world2.state.quat).copy()
+        lin2 = np.zeros_like(pos2)
+        ang2 = np.zeros_like(pos2)
+        for j, (kind, ref) in enumerate(keep_map):
+            lin2[j] = linvels2[j]
+            if kind == "body":
+                i = ref
+                pos2[j] = np.asarray(st.pos[i])
+                quat2[j] = np.asarray(st.quat[i])
+                ang2[j] = np.asarray(st.angvel[i])
+        world2.state = world2.state.replace(
+            pos=jnp.asarray(pos2),
+            quat=jnp.asarray(quat2),
+            linvel=jnp.asarray(lin2),
+            angvel=jnp.asarray(ang2),
+        )
+        n2 = self.total_frames - f_break
+        sched2 = np.ones((n2, len(objects2)), bool)
+        for j, (kind, ref) in enumerate(keep_map):
+            if kind == "body":
+                sched2[:, j] = sched[f_break:, ref]
+        final2, posb, quatb = simulate(
+            world2, n2, enabled_schedule=sched2
+        )
+        rb2 = rb_transform_schema(world2, posb, quatb)
+
+        # merge: surviving bodies get both segments; fragments appear
+        # from f_break (earlier frames hold the parent's entry)
+        rb = rb1
+        for j, (kind, ref) in enumerate(keep_map):
+            name = world2.names[j]
+            seg2 = rb2[name]
+            merged = rb.get(name, {})
+            for t in range(n2):
+                merged[str(f_break + t)] = seg2[str(t)]
+            rb[name] = merged
+        self.rb_transform = rb
+        self._world = world2
+        # per-frame hull poses for shadows: concatenate segments
+        pos_full = np.concatenate(
+            [
+                np.tile(pos2[None], (f_break, 1, 1)),
+                posb,
+            ]
+        )
+        quat_full = np.concatenate(
+            [np.tile(quat2[None], (f_break, 1, 1)), quatb]
+        )
+        # surviving bodies' segment-1 poses
+        for j, (kind, ref) in enumerate(keep_map):
+            if kind == "body":
+                pos_full[:f_break, j] = pos1[:, ref]
+                quat_full[:f_break, j] = quat1[:, ref]
+        self._world_traj = (pos_full, quat_full)
         return self.rb_transform
 
     # ---- rendering -----------------------------------------------------------
@@ -353,16 +506,40 @@ class SceneRepresentation:
             merged = merge(merged, og)
         return merged
 
+    def _fragment_surfels(self, oid: str, pi: int, frag: Dict) -> dict:
+        key = f"__frag__{oid}_{pi}"
+        if key not in self._surfel_cache:
+            self._surfel_cache[key] = RMS.sample_mesh_surfels(
+                frag["vertices"], frag["faces"], num_samples=6_000
+            )
+        return self._surfel_cache[key]
+
+    def _draw_list(self, frame_idx: int):
+        """Objects (and debris fragments) visible at this frame."""
+        frags = getattr(self, "_fragments", {}) or {}
+        out = []
+        for obj in self.inserted_objects:
+            if obj.get("from_3DGS"):
+                continue
+            oid = obj["object_id"]
+            if oid in frags and frame_idx >= frags[oid][0]["visible_from"]:
+                continue  # parent replaced by debris
+            out.append((obj, self._object_surfels(obj)))
+        for oid, pieces in frags.items():
+            for pi, frag in enumerate(pieces):
+                if frame_idx >= frag["visible_from"]:
+                    out.append(
+                        (frag["object"], self._fragment_surfels(oid, pi, frag))
+                    )
+        return out
+
     def render_object_pass(self, frame_idx: int):
         """Inserted (non-3DGS) objects as IBL-shaded surfels -> RGBA+depth."""
         self.render_global_env_map()
         cam = C.index_camera(self.cameras, frame_idx)
         cfg = self._raster_cfg()
         gs = []
-        for i, obj in enumerate(self.inserted_objects):
-            if obj.get("from_3DGS"):
-                continue
-            surf = self._object_surfels(obj)
+        for obj, surf in self._draw_list(frame_idx):
             tr = (
                 self.rb_transform.get(obj["object_id"], {}).get(
                     str(frame_idx)

@@ -154,10 +154,16 @@ def preprocess(
         [cov_c / safe_det, -cov_b / safe_det, cov_a / safe_det], axis=-1
     )
 
-    # Screen-space extent (forward.cu:214-221).
+    # Screen-space extent.  CUDA uses a fixed 3σ (forward.cu:214-221);
+    # we additionally clamp to the exact α ≥ 1/255 support radius
+    # r = σ·sqrt(2·ln(255·op)) — pixels beyond it are skipped by the
+    # blend's alpha cutoff in both implementations, so the rendered
+    # output is identical while low-opacity splats touch fewer tiles.
     mid = 0.5 * (cov_a + cov_c)
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(lambda1))
+    op = g.opacity
+    nsigma = jnp.sqrt(2.0 * jnp.log(jnp.maximum(op * 255.0, 1.0 + 1e-6)))
+    radius_f = jnp.ceil(jnp.minimum(3.0, nsigma) * jnp.sqrt(lambda1))
 
     valid = in_front & det_ok
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)

@@ -20,6 +20,7 @@ import numpy as np
 
 class FracturePieces(NamedTuple):
     vertices: List[np.ndarray]  # per-piece hull vertices (parent local)
+    faces: List[np.ndarray]  # per-piece hull triangle indices
     centers: np.ndarray  # (P, 3) piece centroids (parent local)
     mass_fractions: np.ndarray  # (P,) ∝ hull volume
 
@@ -68,7 +69,7 @@ def fracture_mesh(
     surf_cell = assign(surf)
     int_cell = assign(inside)
 
-    pieces, centers, vols = [], [], []
+    pieces, piece_faces, centers, vols = [], [], [], []
     for i in range(num_pieces):
         pts = np.concatenate(
             [surf[surf_cell == i], inside[int_cell == i], seeds[i : i + 1]]
@@ -79,13 +80,17 @@ def fracture_mesh(
             h = ConvexHull(pts)
         except Exception:
             continue
+        remap = np.full(len(pts), -1, np.int64)
+        remap[h.vertices] = np.arange(len(h.vertices))
         pv = pts[h.vertices]
         pieces.append(pv.astype(np.float32))
+        piece_faces.append(remap[h.simplices])
         centers.append(pv.mean(0))
         vols.append(max(h.volume, 1e-12))
     vols = np.asarray(vols)
     return FracturePieces(
         vertices=pieces,
+        faces=piece_faces,
         centers=np.asarray(centers, np.float32),
         mass_fractions=(vols / vols.sum()).astype(np.float32),
     )

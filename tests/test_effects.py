@@ -273,3 +273,80 @@ class TestSHRotation:
         np.testing.assert_allclose(
             np.asarray(v_rot), np.asarray(v_orig), atol=1e-4
         )
+
+
+class TestBreakEvent:
+    def test_drop_and_break(self, tmp_path):
+        """Break event: parent simulates, shatters at the break frame,
+        debris appears in rb_transform and the render."""
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_edit import box_mesh, ground_mesh
+
+        from autovfx_tpu.core import cameras as C, ply_io
+        from autovfx_tpu.edit import edit_utils as EU, mesh_io
+        from autovfx_tpu.edit.scene_representation import (
+            SceneParams,
+            SceneRepresentation,
+        )
+        from autovfx_tpu.utils.synthetic import make_gaussians
+
+        root = str(tmp_path)
+        g = make_gaussians(100, jax.random.PRNGKey(0), spread=1.5)
+        g = g.replace(xyz=g.xyz.at[:, 2].multiply(0.1))
+        ply_io.save_ply(os.path.join(root, "scene.ply"), g)
+        mesh_io.save_obj(os.path.join(root, "scene_mesh.obj"), ground_mesh())
+        cams = C.stack_cameras(
+            [
+                C.look_at_camera(
+                    [3, 0.2 * i, 1.6], [0, 0, 0], [0, 0, 1],
+                    fx=40.0, fy=40.0, width=48, height=36,
+                )
+                for i in range(6)
+            ]
+        )
+        os.makedirs(os.path.join(root, "custom_camera_path"), exist_ok=True)
+        C.save_custom_trajectory(
+            os.path.join(root, "custom_camera_path/t.json"), cams
+        )
+        ball = os.path.join(root, "ball.obj")
+        mesh_io.save_obj(ball, box_mesh(0.5, color=(0.9, 0.2, 0.2)))
+        scene = SceneRepresentation(
+            SceneParams(
+                source_path=root, model_path=root,
+                gaussians_ckpt_path=os.path.join(root, "scene.ply"),
+                scene_mesh_path=os.path.join(root, "scene_mesh.obj"),
+                custom_traj_name="t",
+                cache_dir=os.path.join(root, "cache"),
+                dup_budget=1 << 14,
+                light_samples=4,
+            )
+        )
+        from autovfx_tpu.edit.edit_ir import default_object_info
+
+        obj = default_object_info()
+        obj["object_id"] = "crate"
+        obj["object_name"] = "crate"
+        obj["object_path"] = ball
+        obj["pos"] = np.array([0, 0, 1.0], np.float32)
+        obj["scale"] = 0.4
+        obj = EU.allow_physics(obj)
+        obj = EU.make_break(obj)
+        EU.insert_object(scene, obj)
+        EU.add_event(scene, obj, "break", start_frame=3)
+
+        rb = scene.run_physics()
+        # parent entries exist before the break, fragments after
+        assert "crate" in rb
+        frag_keys = [k for k in rb if k.startswith("crate_frag")]
+        assert len(frag_keys) >= 4
+        assert "0" in rb["crate"]
+        assert str(scene.total_frames - 1) in rb[frag_keys[0]]
+        # fragments render after the break frame
+        dl_before = scene._draw_list(0)
+        dl_after = scene._draw_list(scene.total_frames - 1)
+        assert len(dl_after) > len(dl_before)
+        # full frame renders finite
+        frames = scene.render_scene(save=False)
+        assert np.isfinite(frames).all()
