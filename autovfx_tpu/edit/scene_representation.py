@@ -539,7 +539,49 @@ class SceneRepresentation:
         cam = C.index_camera(self.cameras, frame_idx)
         cfg = self._raster_cfg()
         gs = []
+        from autovfx_tpu.edit.events import compile_event_schedule
+        from autovfx_tpu.render import melt as RMELT
+
+        obj_ids = [o["object_id"] for o, _ in self._draw_list(frame_idx)]
         for obj, surf in self._draw_list(frame_idx):
+            # melting / incinerate progress from flags + event windows
+            oid = obj["object_id"]
+            melt_p = burn_p = 0.0
+            for ev in self.events:
+                if ev["object_id"] != oid:
+                    continue
+                prog = RMELT.effect_progress(
+                    frame_idx, int(ev.get("start_frame") or 1),
+                    ev.get("end_frame"), self.total_frames,
+                )
+                if ev["event_type"] == "melting":
+                    melt_p = max(melt_p, prog)
+                elif ev["event_type"] == "incinerate":
+                    burn_p = max(burn_p, prog)
+            if obj.get("melting") and melt_p == 0.0 and not any(
+                ev["object_id"] == oid and ev["event_type"] == "melting"
+                for ev in self.events
+            ):
+                melt_p = RMELT.effect_progress(
+                    frame_idx, 1, None, self.total_frames
+                )
+            if melt_p > 0.0 or burn_p > 0.0:
+                pts, nrm, rscale = RMELT.melt_surfels(
+                    surf["points"], surf["normals"], melt_p
+                ) if melt_p > 0 else (
+                    surf["points"], surf["normals"], 1.0
+                )
+                cols = surf["colors"]
+                op_scale = 1.0
+                if burn_p > 0.0:
+                    cols, op_scale = RMELT.incinerate_colors(cols, burn_p)
+                surf = dict(surf)
+                surf["points"] = pts
+                surf["normals"] = nrm
+                surf["colors"] = cols
+                surf["radius"] = np.float32(surf["radius"] * rscale)
+                if op_scale <= 0.0:
+                    continue  # fully burned away
             tr = (
                 self.rb_transform.get(obj["object_id"], {}).get(
                     str(frame_idx)

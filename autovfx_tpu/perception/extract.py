@@ -186,14 +186,17 @@ def extract_object_from_scene(
 
 def _closest_triangle(points: np.ndarray, mesh: mesh_io.Mesh) -> np.ndarray:
     """(N,) nearest-triangle index per point (o3d RaycastingScene
-    compute_closest_points analog, extract_object.py:106-110) via
-    triangle-centroid KD query."""
-    from scipy.spatial import cKDTree
+    compute_closest_points analog, extract_object.py:106-110): true
+    point-to-triangle distances through the uniform mesh grid (centroid
+    KD queries mis-assign points near large triangles)."""
+    from autovfx_tpu.physics.shapes import (
+        build_mesh_grid,
+        mesh_closest_triangle,
+    )
 
-    centers = mesh.vertices[mesh.faces].mean(axis=1)
-    tree = cKDTree(centers)
-    _, idx = tree.query(points, k=1)
-    return idx.astype(np.int64)
+    grid = build_mesh_grid(mesh.vertices, mesh.faces, resolution=32)
+    idx = mesh_closest_triangle(grid, jnp.asarray(points, jnp.float32))
+    return np.asarray(idx, np.int64)
 
 
 def _export_submesh(mesh: mesh_io.Mesh, tri_mask: np.ndarray, path: str):

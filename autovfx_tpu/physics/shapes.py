@@ -283,9 +283,31 @@ def mesh_contact_query(grid: MeshGrid, points: jax.Array):
     )[:, 0]
     closest = take(cp)
     dist = jnp.min(d, axis=1)
-    tri_n = grid.tri_n[jnp.take_along_axis(cand_c, best[:, None], 1)[:, 0]]
+    tri_idx = jnp.take_along_axis(cand_c, best[:, None], 1)[:, 0]
+    tri_n = grid.tri_n[tri_idx]
     to_pt = points - closest
     sign = jnp.sign(jnp.sum(to_pt * tri_n, axis=-1))
     sign = jnp.where(sign == 0, 1.0, sign)
     sdist = dist * sign
     return sdist, tri_n, closest
+
+
+def mesh_closest_triangle(grid: MeshGrid, points: jax.Array) -> jax.Array:
+    """(P,) nearest-triangle index per query point (grid candidates;
+    points in empty cells get index 0 — pair with a distance check)."""
+    nx, ny, nz = grid.dims
+    rel = (points - grid.origin) / grid.cell_size
+    ci = jnp.clip(rel.astype(jnp.int32), 0,
+                  jnp.array([nx - 1, ny - 1, nz - 1]))
+    flat = (ci[:, 0] * ny + ci[:, 1]) * nz + ci[:, 2]
+    cand = grid.cell_tris[flat]
+    valid = cand >= 0
+    cand_c = jnp.maximum(cand, 0)
+    a = grid.tri_a[cand_c]
+    b = grid.tri_b[cand_c]
+    c = grid.tri_c[cand_c]
+    cp = _closest_point_on_triangle(points[:, None, :], a, b, c)
+    d = jnp.linalg.norm(cp - points[:, None, :], axis=-1)
+    d = jnp.where(valid, d, jnp.inf)
+    best = jnp.argmin(d, axis=1)
+    return jnp.take_along_axis(cand_c, best[:, None], 1)[:, 0]

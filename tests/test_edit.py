@@ -275,3 +275,108 @@ insert_object(scene, obj)
             exec_safe("import os", {}, {})
         with pytest.raises(ValueError):
             exec_safe("x = ().__class__", {}, {})
+
+
+class TestExtraction:
+    def test_extract_object_from_scene(self, tmp_path):
+        """detect->extract chain with precomputed (synthetic) DEVA masks:
+        the mask-ray triangle voting splits the scene mesh + gaussians
+        into object/remainder (extract_object.py:55-392 analog)."""
+        from PIL import Image
+
+        from autovfx_tpu.core.gaussians import merge
+        from autovfx_tpu.edit.scene_representation import (
+            SceneParams,
+            SceneRepresentation,
+        )
+        from autovfx_tpu.ops.rasterize import RasterConfig, rasterize
+        from autovfx_tpu.perception.extract import extract_object_from_scene
+        from autovfx_tpu.utils.synthetic import make_gaussians
+
+        root = str(tmp_path)
+        # scene mesh: ground plane + box object sitting at origin
+        ground = ground_mesh(6.0)
+        box = box_mesh(0.5)
+        box = box._replace(vertices=box.vertices + np.array([0, 0, 0.5],
+                                                            np.float32))
+        scene_m = mesh_io.Mesh(
+            vertices=np.concatenate([ground.vertices, box.vertices]),
+            faces=np.concatenate([ground.faces,
+                                  box.faces + len(ground.vertices)]),
+        )
+        mesh_path = os.path.join(root, "scene_mesh.obj")
+        mesh_io.save_obj(mesh_path, scene_m)
+
+        # gaussians: flat ground cloud + a cluster inside the box
+        g_ground = make_gaussians(300, jax.random.PRNGKey(0), spread=2.0)
+        g_ground = g_ground.replace(
+            xyz=g_ground.xyz.at[:, 2].set(
+                jnp.abs(g_ground.xyz[:, 2]) * 0.01
+            )
+        )
+        g_obj = make_gaussians(150, jax.random.PRNGKey(1), spread=0.22)
+        g_obj = g_obj.replace(xyz=g_obj.xyz + jnp.array([0, 0, 0.5]))
+        g = merge(g_ground, g_obj)
+        from autovfx_tpu.core import ply_io
+
+        ply_io.save_ply(os.path.join(root, "scene.ply"), g)
+
+        cams = C.stack_cameras(
+            [
+                C.look_at_camera(
+                    [2.5 * np.cos(a), 2.5 * np.sin(a), 1.6],
+                    [0, 0, 0.4],
+                    [0, 0, 1],
+                    fx=60.0,
+                    fy=60.0,
+                    width=64,
+                    height=48,
+                )
+                for a in np.linspace(0, np.pi, 3)
+            ]
+        )
+        os.makedirs(os.path.join(root, "custom_camera_path"))
+        C.save_custom_trajectory(
+            os.path.join(root, "custom_camera_path/t.json"), cams
+        )
+        scene = SceneRepresentation(
+            SceneParams(
+                source_path=root,
+                model_path=root,
+                gaussians_ckpt_path=os.path.join(root, "scene.ply"),
+                scene_mesh_path=mesh_path,
+                custom_traj_name="t",
+                cache_dir=os.path.join(root, "cache"),
+                dup_budget=1 << 14,
+            )
+        )
+        # synthetic DEVA masks: render ONLY the object gaussians' alpha
+        cfg = RasterConfig(dup_budget=1 << 14, backend="ref")
+        g_obj_only = g.replace(
+            active=jnp.arange(g.capacity) >= 300
+        )
+        tdir = os.path.join(scene.tracking_results_dir, "box", "1")
+        os.makedirs(tdir)
+        for i in range(3):
+            out = rasterize(g_obj_only, C.index_camera(cams, i), config=cfg)
+            mask = (np.asarray(out.alpha) > 0.4) * 255
+            Image.fromarray(mask.astype(np.uint8)).save(
+                os.path.join(tdir, f"{i:05d}.png")
+            )
+
+        path = extract_object_from_scene(scene, "box", 1)
+        assert os.path.exists(path)
+        obj_mesh = mesh_io.load_mesh(path)
+        # extracted mesh is the box region: bounded, above ground
+        assert len(obj_mesh.vertices) >= 4
+        assert obj_mesh.vertices[:, 2].max() > 0.5
+        assert np.abs(obj_mesh.vertices[:, :2]).max() < 1.5
+        # gaussian split exported, object side mostly the cluster
+        base = os.path.dirname(os.path.dirname(path))
+        from autovfx_tpu.core.ply_io import load_ply
+
+        g_sel = load_ply(os.path.join(base, "object_gaussians.ply"))
+        sel_xyz = np.asarray(g_sel.xyz)
+        frac_cluster = (np.linalg.norm(
+            sel_xyz - [0, 0, 0.5], axis=1) < 0.8).mean()
+        assert frac_cluster > 0.7

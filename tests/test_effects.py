@@ -350,3 +350,44 @@ class TestBreakEvent:
         # full frame renders finite
         frames = scene.render_scene(save=False)
         assert np.isfinite(frames).all()
+
+
+class TestMeltIncinerate:
+    def test_melt_deformation(self):
+        from autovfx_tpu.render.melt import melt_surfels
+
+        rng = np.random.RandomState(0)
+        pts = rng.rand(500, 3).astype(np.float32)  # unit cube above z=0
+        nrm = np.tile(np.array([1, 0, 0], np.float32), (500, 1))
+        p1, n1, rs = melt_surfels(pts, nrm, 1.0)
+        # collapsed: height shrinks drastically, footprint spreads
+        assert p1[:, 2].max() - p1[:, 2].min() < 0.2 * (
+            pts[:, 2].max() - pts[:, 2].min()
+        )
+        assert p1[:, 0].std() > 1.4 * pts[:, 0].std()
+        # normals point up
+        assert (n1[:, 2] > 0.9).all()
+        assert rs > 1.3
+        # progress 0 = identity
+        p0, n0, rs0 = melt_surfels(pts, nrm, 0.0)
+        np.testing.assert_allclose(p0, pts, atol=1e-6)
+        assert rs0 == 1.0
+
+    def test_incinerate(self):
+        from autovfx_tpu.render.melt import incinerate_colors
+
+        c = np.full((10, 3), 0.8, np.float32)
+        burned, op = incinerate_colors(c, 1.0)
+        assert burned.max() < 0.15
+        assert op == 0.0
+        mid, op_mid = incinerate_colors(c, 0.5)
+        assert 0.2 < mid.mean() < 0.6
+        assert op_mid == 1.0
+
+    def test_progress(self):
+        from autovfx_tpu.render.melt import effect_progress
+
+        assert effect_progress(0, 5, None, 10) == 0.0
+        assert effect_progress(4, 5, None, 10) == 0.0
+        assert effect_progress(10, 5, 11, 10) == 1.0
+        assert 0.4 < effect_progress(7, 5, 11, 10) < 0.7
