@@ -33,17 +33,14 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", 256 if TILE == 16 else 128))
 _default_budget = 6_291_456 if TILE == 16 else 2_359_296
 DUP_BUDGET = int(os.environ.get("BENCH_DUP_BUDGET", _default_budget))
 FRAMES = int(os.environ.get("BENCH_FRAMES", 8))
-BASELINE_FPS = 60.0
+MODE = os.environ.get("BENCH_MODE", "view")  # view | edit
+BASELINE_FPS = 60.0  # BASELINE.md: edited-frame rendering >= 60 FPS/chip
 
 
-def main():
+def _make_cams():
     from autovfx_tpu.core import cameras as C
-    from autovfx_tpu.ops.rasterize import RasterConfig, rasterize
-    from autovfx_tpu.utils.synthetic import make_garden_like
 
-    backend = "pallas" if jax.default_backend() == "tpu" else "ref"
-    g = make_garden_like(N_GAUSS, extent=2.67)
-    cams = C.stack_cameras(
+    return C.stack_cameras(
         [
             C.look_at_camera(
                 [2.6 * np.cos(a), 2.6 * np.sin(a), 1.4],
@@ -57,10 +54,23 @@ def main():
             for a in np.linspace(0, 2 * np.pi, FRAMES, endpoint=False)
         ]
     )
+
+
+def main():
+    from autovfx_tpu.core import cameras as C
+    from autovfx_tpu.ops.rasterize import RasterConfig, rasterize
+    from autovfx_tpu.utils.synthetic import make_garden_like
+
+    backend = "pallas" if jax.default_backend() == "tpu" else "ref"
+    g = make_garden_like(N_GAUSS, extent=2.67)
+    cams = _make_cams()
     cfg = RasterConfig(
         dup_budget=DUP_BUDGET, backend=backend, tile=TILE, chunk=CHUNK
     )
     bg = jnp.zeros((3,), jnp.float32)
+
+    if MODE == "edit":
+        return _main_edit(g, cams, cfg)
 
     @jax.jit
     def run(g):
@@ -97,6 +107,71 @@ def main():
     )
     if bool(overflow):
         raise SystemExit("duplicate budget overflow — benchmark invalid")
+
+
+def _main_edit(g, cams, cfg):
+    """BASELINE config 4: full edited frames (object + shadow + composite)
+    through render/clip.py — one physics-animated cube over the scene."""
+    from autovfx_tpu.physics.shapes import build_hulls
+    from autovfx_tpu.render import clip as CL
+    from autovfx_tpu.render import meshsplat as MS
+
+    corners = np.array(
+        [[x, y, z] for x in (-0.3, 0.3) for y in (-0.3, 0.3)
+         for z in (-0.3, 0.3)], np.float32
+    )
+    faces = np.array(
+        [[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+         [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+         [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int64
+    )
+    hull, _, _, _ = build_hulls([corners])
+    surf = MS.sample_mesh_surfels(corners, faces, num_samples=50_000)
+    # a falling-then-resting trajectory (stand-in for a solver replay;
+    # per-frame cost is identical either way)
+    zs = np.maximum(1.5 - 0.5 * 9.8 * (np.arange(FRAMES) / 15.0) ** 2, 0.3)
+    traj_pos = np.stack(
+        [np.stack([np.zeros(FRAMES), np.zeros(FRAMES), zs], -1)], 1
+    ).astype(np.float32)
+    traj_rot = np.tile(np.eye(3, dtype=np.float32), (FRAMES, 1, 1, 1))
+    rng = np.random.RandomState(0)
+    env = (0.4 + 0.6 * rng.rand(32, 64, 3)).astype(np.float32)
+
+    inp = CL.build_clip_inputs(
+        bg=g, cams=cams,
+        objects=[{"scale": 1.0, "material": {"rgb": [0.8, 0.2, 0.2]}}],
+        surfels=[surf], traj_pos=traj_pos, traj_rot=traj_rot,
+        hull_shape=hull, env=env, num_lights=16,
+    )
+
+    @jax.jit
+    def run(inp):
+        def frame(carry, i):
+            f = CL.render_edited_frame(inp, i, cfg)
+            return carry + f.mean(), None
+
+        acc, _ = jax.lax.scan(frame, 0.0, jnp.arange(FRAMES))
+        return acc
+
+    acc = jax.block_until_ready(run(inp))
+    t0 = time.time()
+    acc = jax.block_until_ready(run(inp))
+    dt = time.time() - t0
+    fps = FRAMES / dt
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"garden-like {WIDTH}x{HEIGHT} EDITED-frame FPS/chip "
+                    f"({N_GAUSS} splats + object/shadow/composite, "
+                    f"tile={TILE})"
+                ),
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -243,3 +243,55 @@ class TestComposite:
         out = np.asarray(comp.downsample2x(img))
         assert out.shape == (2, 2)
         np.testing.assert_allclose(out[0, 0], (0 + 1 + 4 + 5) / 4)
+
+
+class TestClip:
+    def test_render_clip_end_to_end(self):
+        """Two-frame edited clip: moving cube over a synthetic scene."""
+        from autovfx_tpu.physics.shapes import build_hulls
+        from autovfx_tpu.render import clip as CL
+        from autovfx_tpu.utils.synthetic import make_scene
+
+        bg, cam = make_scene(n=400, width=64, height=48, cam_dist=4.0)
+        cams = C.stack_cameras([cam, cam])
+
+        # unit cube centered at origin (COM frame == local frame)
+        corners = np.array(
+            [[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5)
+             for z in (-0.5, 0.5)], np.float32
+        )
+        faces = np.array(
+            [[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+             [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+             [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int64
+        )
+        hull, _, _, _ = build_hulls([corners])
+        surf = MS.sample_mesh_surfels(corners, faces, num_samples=800)
+        surf["colors"][:] = [0.9, 0.1, 0.1]
+
+        env = np.full((8, 16, 3), 0.8, np.float32)
+        traj_pos = np.array([[[0.0, 0.0, 0.3]], [[0.3, 0.0, 0.3]]],
+                            np.float32)  # (F=2, B=1, 3)
+        traj_rot = np.tile(np.eye(3, dtype=np.float32), (2, 1, 1, 1))
+
+        inp = CL.build_clip_inputs(
+            bg=bg, cams=cams,
+            objects=[{"scale": 0.8,
+                      "material": {"rgb": [1.0, 1.0, 1.0]}}],
+            surfels=[surf],
+            traj_pos=traj_pos, traj_rot=traj_rot,
+            hull_shape=hull, env=env, num_lights=8,
+        )
+        cfg = RasterConfig(dup_budget=204_800)
+        frames = CL.render_clip(inp, num_frames=2, config=cfg)
+        assert frames.shape == (2, 48, 64, 3)
+        assert bool(jnp.all(jnp.isfinite(frames)))
+        assert float(frames.max()) <= 1.0 and float(frames.min()) >= 0.0
+
+        # the object must actually show up: frames differ from bg-only
+        bg_only = rasterize(bg, cam, config=cfg).color
+        diff0 = float(jnp.abs(frames[0] - bg_only).max())
+        assert diff0 > 0.05, f"object invisible in frame 0 ({diff0})"
+        # and the two frames differ (object moved)
+        dmove = float(jnp.abs(frames[0] - frames[1]).max())
+        assert dmove > 0.01, f"frames identical despite motion ({dmove})"

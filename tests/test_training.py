@@ -214,3 +214,62 @@ class TestTrainEndToEnd:
         assert np.isfinite(float(aux.loss))
         for f in ("xyz", "log_scales", "opacity_logit"):
             assert np.isfinite(np.asarray(getattr(state2.gaussians, f))).all()
+
+
+class TestInitPoints:
+    def _setup(self):
+        from autovfx_tpu.core.cameras import look_at_camera
+
+        # ground quad at z=0 spanning [-5,5]^2
+        verts = np.array(
+            [[-5, -5, 0], [5, -5, 0], [5, 5, 0], [-5, 5, 0]], np.float32
+        )
+        faces = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+        cam = look_at_camera(
+            eye=[0, 0, 3], target=[0, 0.01, 0], up=[0, 1, 0],
+            fx=40.0, fy=40.0, width=32, height=24,
+        )
+        cams = C.stack_cameras([cam, cam])
+        images = np.zeros((2, 24, 32, 3), np.float32)
+        images[..., 1] = 0.75  # green ground
+        return verts, faces, cams, images
+
+    def test_ray_mesh_points_on_mesh(self):
+        from autovfx_tpu.train.init_points import ray_mesh_init_points
+
+        verts, faces, cams, images = self._setup()
+        xyz, rgb = ray_mesh_init_points(
+            cams, images, verts, faces, num_points=200,
+            rays_per_batch=512,
+        )
+        assert len(xyz) > 0
+        assert np.abs(xyz[:, 2]).max() < 1e-3  # on the z=0 plane
+        assert np.abs(xyz[:, :2]).max() <= 5.0 + 1e-3
+        assert np.allclose(rgb[:, 1], 0.75)  # picked up pixel color
+
+    def test_hybrid_doubles_count(self):
+        from autovfx_tpu.train.init_points import build_init_points
+
+        verts, faces, cams, images = self._setup()
+        colmap_xyz = np.random.RandomState(0).randn(150, 3).astype(
+            np.float32
+        )
+        colmap_rgb = np.full((150, 3), 0.5, np.float32)
+        xyz, rgb = build_init_points(
+            "hybrid", colmap_xyz, colmap_rgb, cams=cams, images=images,
+            mesh_vertices=verts, mesh_faces=faces,
+        )
+        assert len(xyz) == 300  # 2x COLMAP (dataset_readers.py:176-289)
+        assert np.allclose(xyz[:150], colmap_xyz)
+
+    def test_colmap_passthrough_and_errors(self):
+        from autovfx_tpu.train.init_points import build_init_points
+
+        xyz = np.ones((5, 3), np.float32)
+        rgb = np.ones((5, 3), np.float32)
+        x2, r2 = build_init_points("colmap", xyz, rgb)
+        assert np.allclose(x2, xyz)
+        with pytest.raises(ValueError):
+            build_init_points("ray_mesh", xyz, rgb)
+        with pytest.raises(ValueError):
+            build_init_points("bogus", xyz, rgb)

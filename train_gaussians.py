@@ -31,6 +31,13 @@ def get_args():
     p.add_argument("--mesh_resolution", type=int, default=192)
     p.add_argument("--target_vertices", type=int, default=1_000_000)
     p.add_argument("--gaussians_per_triangle", type=int, default=1)
+    p.add_argument("--init_strategy", default="colmap",
+                   choices=["colmap", "ray_mesh", "hybrid"],
+                   help="seed-point strategy (dataset_readers.py:176-289);"
+                        " ray_mesh/hybrid need --init_mesh")
+    p.add_argument("--init_mesh", default=None,
+                   help="scene mesh (e.g. BakedSDF export) for ray_mesh/"
+                        "hybrid init")
     p.add_argument("--skip_refine", action="store_true")
     p.add_argument("--eval", action="store_true",
                    help="hold out every 8th view for metrics")
@@ -81,6 +88,10 @@ def main():
     from autovfx_tpu.utils import metrics as MET
 
     args = get_args()
+    if args.init_strategy != "colmap" and not args.init_mesh:
+        raise SystemExit(
+            f"--init_strategy {args.init_strategy} requires --init_mesh"
+        )
     os.makedirs(args.model_path, exist_ok=True)
     cams, images, xyz, rgb = load_scene(args)
     print(f"loaded {images.shape[0]} views, {len(xyz)} SfM points")
@@ -89,6 +100,15 @@ def main():
     extent = float(np.abs(np.asarray(cams.center)).max()) * 1.1
 
     # ---- stage 1: vanilla 3DGS ------------------------------------------------
+    if args.init_strategy != "colmap":
+        from autovfx_tpu.train.init_points import build_init_points
+
+        mesh = mesh_io.load_mesh(args.init_mesh)
+        xyz, rgb = build_init_points(
+            args.init_strategy, xyz, rgb, cams=cams, images=images,
+            mesh_vertices=mesh.vertices, mesh_faces=mesh.faces,
+        )
+        print(f"init_strategy={args.init_strategy}: {len(xyz)} seed points")
     g0 = init_gaussians_from_points(
         jnp.asarray(xyz), jnp.asarray(rgb)
     ).pad_to(args.capacity)
