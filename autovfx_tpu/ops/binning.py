@@ -97,6 +97,7 @@ def bin_splats(
     dup_budget: int,
     tile: int = TILE,
     chunk: int = CHUNK,
+    fill_backend: str = "auto",
 ) -> BinnedSplats:
     CHUNK = chunk  # noqa: N806 — local chunk size
     if chunk % 128:
@@ -116,16 +117,16 @@ def bin_splats(
     # ~1 element / 14 ns (4 gathers cost more than the sort itself)
     live = splats.tiles_touched > 0
     depth_key = jnp.where(live, splats.depth, jnp.float32(jnp.inf))
-    rect_packed = _pack_rect(
-        splats.tile_min[:, 0],
-        splats.tile_min[:, 1],
-        jnp.maximum(splats.tile_max[:, 0] - splats.tile_min[:, 0], 1),
+    xy_packed = splats.tile_min[:, 0] | (splats.tile_min[:, 1] << 9)
+    rect_w0 = jnp.maximum(
+        splats.tile_max[:, 0] - splats.tile_min[:, 0], 1
     )
-    _, counts_d, rect_d, depth_order = jax.lax.sort(
+    _, counts_d, xy_d, w_d, depth_order = jax.lax.sort(
         (
             depth_key,
             splats.tiles_touched,
-            rect_packed,
+            xy_packed,
+            rect_w0,
             jnp.arange(n, dtype=jnp.int32),
         ),
         num_keys=1,
@@ -137,21 +138,46 @@ def bin_splats(
 
     # depth presort puts culled gaussians (depth=inf) last, so live
     # gaussians form a prefix and their offsets chain contiguously.
-    # NOTE: separate (K,) scatters/cumsums beat a fused (K,3) row form —
-    # narrow trailing dims pad to 128 lanes and multiply the traffic.
-    hist = jnp.zeros((k,), jnp.int32).at[
-        jnp.minimum(jnp.where(counts_d > 0, offsets, k), k)
-    ].add(1, mode="drop")
-    group_start = jax.lax.cummax(jnp.where(hist > 0, slot, 0))
-    rank = slot - group_start
+    from autovfx_tpu.ops import fill_pallas as FP
 
-    # per-duplicate gaussian data via gather-free segment fills
-    orig_id = segment_fill_int(depth_order, offsets, k)
-    rpack = segment_fill_int(rect_d, offsets, k)
+    if fill_backend == "auto":
+        fill_backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and k % FP.C_STEP == 0
+            else "xla"
+        )
+    if fill_backend in ("pallas", "pallas_interpret"):
+        # live offsets are strictly increasing (counts >= 1); the culled
+        # suffix is excluded via the sentinel so windows stay bounded
+        starts_eff = jnp.where(counts_d > 0, offsets, FP.EXCLUDED)
+        group_start, orig_id, xy_f, rect_w = FP.monotone_fill(
+            starts_eff,
+            [jnp.minimum(offsets, k), depth_order, xy_d, w_d],
+            k,
+            interpret=(fill_backend == "pallas_interpret"),
+        )
+        rank = slot - group_start
+        tmin_x = xy_f & 0x1FF
+        tmin_y = xy_f >> 9
+        rect_w = jnp.maximum(rect_w, 1)
+    else:
+        # NOTE: separate (K,) scatters/cumsums beat a fused (K,3) row
+        # form — narrow trailing dims pad to 128 lanes and multiply the
+        # traffic.
+        hist = jnp.zeros((k,), jnp.int32).at[
+            jnp.minimum(jnp.where(counts_d > 0, offsets, k), k)
+        ].add(1, mode="drop")
+        group_start = jax.lax.cummax(jnp.where(hist > 0, slot, 0))
+        rank = slot - group_start
+
+        # per-duplicate gaussian data via gather-free segment fills
+        rect_d = _pack_rect(xy_d & 0x1FF, xy_d >> 9, w_d)
+        orig_id = segment_fill_int(depth_order, offsets, k)
+        rpack = segment_fill_int(rect_d, offsets, k)
+        tmin_x, tmin_y, rect_w = _unpack_rect(rpack)
+        rect_w = jnp.maximum(rect_w, 1)
 
     # ---- tile of each duplicate ----------------------------------------------
-    tmin_x, tmin_y, rect_w = _unpack_rect(rpack)
-    rect_w = jnp.maximum(rect_w, 1)
     dy = rank // rect_w
     dx = rank - dy * rect_w
     tile_real = (tmin_y + dy) * tiles_x + (tmin_x + dx)
