@@ -51,7 +51,8 @@ from autovfx_tpu.ops.blend_ref import (
 )
 from autovfx_tpu.ops.projection import TILE, Splats2D
 
-FEAT = 16  # packed feature rows
+FEAT = 16  # packed feature rows (f32 mode)
+FEAT8 = 8  # bf16-paired fast mode: gathers of <=8 sublanes run 1.6x faster
 OUT_ROWS = 8  # [r, g, b, depth, alpha, 0, 0, 0]
 NEG_INF = -1e30
 LOG_OP_MIN = -100.0  # stand-in for log(0) on inert slots
@@ -116,9 +117,19 @@ def _chunk_alpha(f, basis, ones_p, ox, oy):
     return alpha, a_un, ok
 
 
+def _unpack_bf16_pair(row):
+    """(1, C) f32 holding two bf16s -> ((1, C) hi-f32, (1, C) lo-f32)."""
+    u = jax.lax.bitcast_convert_type(row, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        u & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    return hi, lo
+
+
 def _fwd_kernel(
     tile_start_ref, tile_chunks_ref, feat_ref, out_ref, fbuf, sems,
-    *, tiles_x: int, tile: int, chunk: int,
+    *, tiles_x: int, tile: int, chunk: int, packed: bool = False,
 ):
     P = tile * tile  # noqa: N806
     t = pl.program_id(0)
@@ -156,16 +167,23 @@ def _fwd_kernel(
             chunk_dma(1 - slot, c + 1).start()
 
         chunk_dma(slot, c).wait()
-        f = fbuf[slot]  # (FEAT, CHUNK)
+        f = fbuf[slot]  # (FEAT or FEAT8, CHUNK)
 
         alpha, _, _ = _chunk_alpha(f, basis, ones_p, ox, oy)
         lg = jnp.log1p(-alpha)
+        # fast (packed) mode runs the prefix/contrib matmuls at default
+        # bf16 MXU precision (~0.4% on T — below 8-bit display quanta)
+        prec = (
+            jax.lax.Precision.DEFAULT
+            if packed
+            else jax.lax.Precision.HIGHEST
+        )
         exc = jax.lax.dot_general(
             tri,
             lg,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         exc_raw = exc + logT
         cond_f = (jnp.exp(exc_raw) * (1.0 - alpha) < T_EPS) | (done > 0.5)
@@ -174,12 +192,18 @@ def _fwd_kernel(
         )
         exc_hat = jnp.maximum(exc_raw, frozen)
         w = jnp.where(cond_f, 0.0, alpha) * jnp.exp(exc_hat)
+        if packed:
+            r_row, g_row = _unpack_bf16_pair(f[6:7])
+            b_row, d_row = _unpack_bf16_pair(f[7:8])
+            rgbd = jnp.concatenate([r_row, g_row, b_row, d_row], axis=0)
+        else:
+            rgbd = f[6:10]
         contrib = jax.lax.dot_general(
-            f[6:10],
+            rgbd,
             w,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )  # (4, P)
         acc = acc + jnp.concatenate(
             [contrib, jnp.zeros((OUT_ROWS - 4, P), jnp.float32)],
@@ -224,6 +248,8 @@ def _blend_core(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
 def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
                     chunk):
     P = tile * tile  # noqa: N806
+    feat_rows = feat.shape[0]
+    packed = feat_rows == FEAT8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -234,13 +260,14 @@ def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
+            pltpu.VMEM((2, feat_rows, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         functools.partial(
-            _fwd_kernel, tiles_x=tiles_x, tile=tile, chunk=chunk
+            _fwd_kernel, tiles_x=tiles_x, tile=tile, chunk=chunk,
+            packed=packed,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (n_tiles, OUT_ROWS, P), jnp.float32
@@ -268,6 +295,43 @@ def _blend_bwd_rule(n_tiles, tiles_x, tile, chunk, res, g_out):
 
 
 _blend_core.defvjp(_blend_fwd_rule, _blend_bwd_rule)
+
+
+def _pack_bf16_pair(a, b):
+    """Two f32 rows -> one f32 row holding (bf16(a) | bf16(b)).
+
+    The hi half must keep a nonzero exponent: if a == 0 the packed word
+    is a denormal f32 bit pattern and TPU flush-to-zero wipes the lo
+    half in transit.  Clamping a to the smallest normal f32 costs
+    ~1e-38 of absolute error (a is a color/depth, non-negative)."""
+    a = jnp.maximum(a, jnp.float32(1.1754944e-38))
+    ha = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16).astype(jnp.float32), jnp.uint32
+    ) & jnp.uint32(0xFFFF0000)
+    hb = (
+        jax.lax.bitcast_convert_type(
+            b.astype(jnp.bfloat16).astype(jnp.float32), jnp.uint32
+        )
+        >> 16
+    )
+    return jax.lax.bitcast_convert_type(ha | hb, jnp.float32)
+
+
+def pack_gaussian_features_8(splats: Splats2D) -> jax.Array:
+    """(8, N+1) fast-mode rows: geometry f32, colors/depth bf16-paired.
+
+    The duplicate gather runs ~1.6x faster at <=8 sublanes, and bf16
+    color error (~0.4%) is below the 8-bit display quantum.  Inference
+    only — the custom VJP covers the 16-row layout."""
+    full = pack_gaussian_features(splats)  # (16, N+1)
+    return jnp.concatenate(
+        [
+            full[0:6],
+            _pack_bf16_pair(full[6], full[7])[None, :],
+            _pack_bf16_pair(full[8], full[9])[None, :],
+        ],
+        axis=0,
+    )
 
 
 def pack_gaussian_features(splats: Splats2D) -> jax.Array:

@@ -35,6 +35,10 @@ class RasterConfig:
     # on Garden-like scenes) and kernel chunk size (duplicates per step)
     tile: int = flax.struct.field(pytree_node=False, default=16)
     chunk: int = flax.struct.field(pytree_node=False, default=256)
+    # "f32" = exact CUDA-parity features (differentiable); "bf16" packs
+    # color/depth rows as bf16 pairs (8-row gather, ~1.6x faster;
+    # inference only — gradients require "f32")
+    feature_pack: str = flax.struct.field(pytree_node=False, default="f32")
 
 
 class RenderOutput(NamedTuple):
@@ -84,19 +88,30 @@ def rasterize(
 
     from autovfx_tpu.ops import blend_pallas
 
+    backend = _select_backend(config.backend)
+    packed = config.feature_pack == "bf16" and backend == "pallas"
+
     # per-gaussian rows (O(N), differentiable), then ONE per-duplicate
     # column gather (VJP = the segment-sum that replaces CUDA atomicAdd)
-    feat_g = blend_pallas.pack_gaussian_features(splats)  # (16, N+1)
-    feat_dup = feat_g[:, binned.gid]  # (16, K)
+    if packed:
+        feat_g = blend_pallas.pack_gaussian_features_8(splats)
+    else:
+        feat_g = blend_pallas.pack_gaussian_features(splats)  # (16, N+1)
+    feat_dup = feat_g[:, binned.gid]  # (16 or 8, K)
 
-    backend = _select_backend(config.backend)
     tx, ty = binned.num_tiles_x, binned.num_tiles_y
     if backend == "pallas":
         n_tiles = tx * ty
-        out_rows = blend_pallas._blend_core(
-            feat_dup, binned.tile_start, binned.tile_chunks,
-            n_tiles, tx, config.tile, config.chunk,
-        )  # (T, 8, tile²)
+        if packed:  # fast inference path (no VJP on the 8-row layout)
+            out_rows = blend_pallas._blend_fwd_call(
+                feat_dup, binned.tile_start, binned.tile_chunks,
+                n_tiles, tx, config.tile, config.chunk,
+            )
+        else:
+            out_rows = blend_pallas._blend_core(
+                feat_dup, binned.tile_start, binned.tile_chunks,
+                n_tiles, tx, config.tile, config.chunk,
+            )  # (T, 8, tile²)
         rows = blend_ref.assemble_rows(
             out_rows, tx, ty, cam.width, cam.height, tile=config.tile
         )  # (8, H, W) in one relayout

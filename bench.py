@@ -65,7 +65,8 @@ def main():
     g = make_garden_like(N_GAUSS, extent=2.67)
     cams = _make_cams()
     cfg = RasterConfig(
-        dup_budget=DUP_BUDGET, backend=backend, tile=TILE, chunk=CHUNK
+        dup_budget=DUP_BUDGET, backend=backend, tile=TILE, chunk=CHUNK,
+        feature_pack=os.environ.get("BENCH_FEATURE_PACK", "bf16"),
     )
     bg = jnp.zeros((3,), jnp.float32)
 

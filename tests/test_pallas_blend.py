@@ -118,3 +118,44 @@ class TestBackwardParity:
                 b[row] / scale, a[row] / scale, atol=5e-4,
                 err_msg=f"feat row {row}",
             )
+
+
+class TestPackedFastPath:
+    def test_bf16_pack_matches_f32(self):
+        g, cam = make_scene(n=200, width=64, height=48, key=0)
+        splats = projection.preprocess(g, cam)
+        binned = binning.bin_splats(splats, cam.width, cam.height, 1 << 14)
+        f16 = blend_pallas.pack_gaussian_features(splats)
+        f8 = blend_pallas.pack_gaussian_features_8(splats)
+        assert f8.shape[0] == blend_pallas.FEAT8
+        n_tiles = binned.num_tiles_x * binned.num_tiles_y
+        out_full = blend_pallas._blend_fwd_call(
+            f16[:, binned.gid], binned.tile_start, binned.tile_chunks,
+            n_tiles, binned.num_tiles_x, 16, 256,
+        )
+        out_pack = blend_pallas._blend_fwd_call(
+            f8[:, binned.gid], binned.tile_start, binned.tile_chunks,
+            n_tiles, binned.num_tiles_x, 16, 256,
+        )
+        # colors/depth carry bf16 (~0.4%) error; alpha path is exact f32
+        np.testing.assert_allclose(
+            np.asarray(out_pack[:, 4]), np.asarray(out_full[:, 4]),
+            atol=3e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_pack[:, 0:3]), np.asarray(out_full[:, 0:3]),
+            atol=1.5e-2,
+        )
+        d_full = np.asarray(out_full[:, 3])
+        d_pack = np.asarray(out_pack[:, 3])
+        np.testing.assert_allclose(
+            d_pack, d_full, rtol=1e-2, atol=0.05
+        )
+
+    def test_unpack_roundtrip(self):
+        a = jnp.asarray(np.random.RandomState(0).rand(1, 256).astype(np.float32))
+        b = jnp.asarray(np.random.RandomState(1).rand(1, 256).astype(np.float32))
+        packed = blend_pallas._pack_bf16_pair(a[0], b[0])[None, :]
+        hi, lo = blend_pallas._unpack_bf16_pair(packed)
+        np.testing.assert_allclose(np.asarray(hi), np.asarray(a), rtol=4e-3)
+        np.testing.assert_allclose(np.asarray(lo), np.asarray(b), rtol=4e-3)
