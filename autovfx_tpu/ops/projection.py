@@ -168,16 +168,25 @@ def preprocess(
     valid = in_front & det_ok
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
 
-    # Tile rect (getRect, auxiliary.h).
+    # Tile rect (getRect, auxiliary.h).  CUDA uses the circumscribed
+    # circle (3·sqrt(λ1)); the rendered support is that circle clipped
+    # to the α ≥ 1/255 ellipse {d ≤ nsigma}, whose axis projections are
+    # ±nsigma·sqrt(Σxx/yy) — the per-axis min of the two bounds covers
+    # the intersection exactly, so the output is identical while
+    # anisotropic / low-opacity splats touch fewer tiles.
+    # +1px absorbs the f32 band where the kernel's alpha test and this
+    # analytic bound disagree at the support boundary
+    rx = jnp.ceil(jnp.minimum(nsigma * jnp.sqrt(cov_a) + 1.0, radius_f))
+    ry = jnp.ceil(jnp.minimum(nsigma * jnp.sqrt(cov_c) + 1.0, radius_f))
     px = mean2d[:, 0]
     py = mean2d[:, 1]
-    rmin_x = jnp.clip(((px - radius_f) / tile).astype(jnp.int32), 0, tiles_x)
-    rmin_y = jnp.clip(((py - radius_f) / tile).astype(jnp.int32), 0, tiles_y)
+    rmin_x = jnp.clip(((px - rx) / tile).astype(jnp.int32), 0, tiles_x)
+    rmin_y = jnp.clip(((py - ry) / tile).astype(jnp.int32), 0, tiles_y)
     rmax_x = jnp.clip(
-        ((px + radius_f + tile - 1) / tile).astype(jnp.int32), 0, tiles_x
+        ((px + rx + tile - 1) / tile).astype(jnp.int32), 0, tiles_x
     )
     rmax_y = jnp.clip(
-        ((py + radius_f + tile - 1) / tile).astype(jnp.int32), 0, tiles_y
+        ((py + ry + tile - 1) / tile).astype(jnp.int32), 0, tiles_y
     )
     area = (rmax_x - rmin_x) * (rmax_y - rmin_y)
     valid = valid & (area > 0) & g.active

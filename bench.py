@@ -30,7 +30,7 @@ HEIGHT = int(os.environ["BENCH_HEIGHT"])
 N_GAUSS = int(os.environ.get("BENCH_GAUSSIANS", 1_000_000))
 TILE = int(os.environ.get("BENCH_TILE", 32))
 CHUNK = int(os.environ.get("BENCH_CHUNK", 256 if TILE == 16 else 128))
-_default_budget = 6_291_456 if TILE == 16 else 2_359_296
+_default_budget = 6_291_456 if TILE == 16 else 2_097_152
 DUP_BUDGET = int(os.environ.get("BENCH_DUP_BUDGET", _default_budget))
 FRAMES = int(os.environ.get("BENCH_FRAMES", 8))
 MODE = os.environ.get("BENCH_MODE", "view")  # view | edit
