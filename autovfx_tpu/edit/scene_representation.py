@@ -38,6 +38,11 @@ from autovfx_tpu.render import ibl as RIBL
 from autovfx_tpu.render import meshsplat as RMS
 from autovfx_tpu.render import shadow as RSH
 
+# approach speed (m/s) above which a contact counts as a fracture-
+# triggering impact; resting contacts approach at ~0, a half-metre drop
+# arrives at ~3 m/s
+FRACTURE_IMPACT_SPEED = 0.7
+
 
 @dataclass
 class SceneParams:
@@ -279,6 +284,28 @@ class SceneRepresentation:
             if o.get("break") and o["object_id"] not in break_frames:
                 break_frames[o["object_id"]] = self.total_frames // 2
 
+        # collision-triggered fracture (allow_fracture): probe-simulate,
+        # shatter at the first real impact (the reference's per-frame BVH
+        # overlap trigger, all_rendering.py:2394-2423) via the same
+        # segmentation machinery as 'break'
+        fracture_ids = [
+            o["object_id"]
+            for o in self.inserted_objects
+            if o.get("fracture") and o["object_id"] not in break_frames
+        ]
+        if fracture_ids:
+            _, _, _, impacts = simulate(
+                world, self.total_frames, enabled_schedule=sched,
+                kinematic=kin, return_impacts=True,
+            )
+            for oid in fracture_ids:
+                bi = [o["object_id"] for o in objects].index(oid)
+                hits = np.nonzero(
+                    impacts[:, bi] > FRACTURE_IMPACT_SPEED
+                )[0]
+                if len(hits):
+                    break_frames[oid] = int(hits[0]) + 1
+
         self._fragments = {}
         if not break_frames:
             final, pos, quat = simulate(
@@ -286,8 +313,7 @@ class SceneRepresentation:
                 kinematic=kin,
             )
             self.rb_transform = rb_transform_schema(world, pos, quat)
-            self._world = world
-            self._world_traj = (pos, quat)
+            self._world_segments = [(world, (pos, quat), 0)]
             return self.rb_transform
 
         f_break = max(min(break_frames.values()), 1)
@@ -408,23 +434,13 @@ class SceneRepresentation:
                 merged[str(f_break + t)] = seg2[str(t)]
             rb[name] = merged
         self.rb_transform = rb
-        self._world = world2
-        # per-frame hull poses for shadows: concatenate segments
-        pos_full = np.concatenate(
-            [
-                np.tile(pos2[None], (f_break, 1, 1)),
-                posb,
-            ]
-        )
-        quat_full = np.concatenate(
-            [np.tile(quat2[None], (f_break, 1, 1)), quatb]
-        )
-        # surviving bodies' segment-1 poses
-        for j, (kind, ref) in enumerate(keep_map):
-            if kind == "body":
-                pos_full[:f_break, j] = pos1[:, ref]
-                quat_full[:f_break, j] = quat1[:, ref]
-        self._world_traj = (pos_full, quat_full)
+        # per-frame hull poses for shadows: frames before f_break use the
+        # segment-1 world (breaking parent included, its real pre-break
+        # trajectory pos1/quat1); fragments only cast from f_break on
+        self._world_segments = [
+            (world, (pos1, quat1), 0),
+            (world2, (posb, quatb), f_break),
+        ]
         return self.rb_transform
 
     # ---- rendering -----------------------------------------------------------
@@ -739,13 +755,18 @@ class SceneRepresentation:
             np.asarray(self._env), self.hparams.light_samples
         )
         weights = contrib.sum(-1)
-        # hull planes at this frame's pose
-        world = getattr(self, "_world", None)
-        if world is None:
+        # hull planes at this frame's pose (segment-aware: break edits
+        # switch worlds at the break frame)
+        segs = getattr(self, "_world_segments", None)
+        if not segs:
             return np.ones_like(bg_depth)
-        pos, quat = self._world_traj
+        world, (pos, quat), start = segs[0]
+        for w_s, traj_s, s_s in segs[1:]:
+            if frame_idx >= s_s:
+                world, (pos, quat), start = w_s, traj_s, s_s
+        local = min(frame_idx - start, len(pos) - 1)
         state_f = world.state.replace(
-            pos=jnp.asarray(pos[frame_idx]), quat=jnp.asarray(quat[frame_idx])
+            pos=jnp.asarray(pos[local]), quat=jnp.asarray(quat[local])
         )
         planes, masks = RSH.object_hulls_world(world.shape, state_f)
         ratio = RSH.shadow_ratio_map(

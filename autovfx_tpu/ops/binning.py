@@ -109,6 +109,14 @@ def bin_splats(
     n = splats.depth.shape[0]
     if dup_budget % CHUNK:
         raise ValueError(f"dup_budget must be a multiple of {CHUNK}")
+    if max(dup_budget, n) >= 1 << 24:
+        # monotone_fill packs stream values into 3 bf16 8-bit digits
+        # (fill_pallas.NUM_DIGITS); larger values silently corrupt the
+        # group-start fill
+        raise ValueError(
+            "dup_budget and splat count must be < 2**24 "
+            f"(got dup_budget={dup_budget}, n={n})"
+        )
     k = dup_budget
     slot = jnp.arange(k, dtype=jnp.int32)
 

@@ -32,6 +32,7 @@ from autovfx_tpu.core.cameras import Camera, index_camera
 from autovfx_tpu.core.gaussians import Gaussians
 from autovfx_tpu.ops.rasterize import RasterConfig, rasterize
 from autovfx_tpu.train import trainer as T
+from autovfx_tpu.train.densify import DensifyStats, scaled_grad_norm
 
 
 # ---- camera data-parallel training ----------------------------------------------
@@ -66,37 +67,29 @@ def dp_train_step(
         (loss, (radii, overflow, psnr)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, offset0)
-        grads = jax.lax.pmean(grads, axis)
+        param_grads, mean2d_grad = grads
+        param_grads = jax.lax.pmean(param_grads, axis)
         loss = jax.lax.pmean(loss, axis)
         psnr = jax.lax.pmean(psnr, axis)
-        param_grads, mean2d_grad = grads
 
-        lrs = T.field_lrs(state.step, cfg)
-        b1, b2, eps = 0.9, 0.999, 1e-15
-        count = state.adam.count + 1
-        bc1 = 1 - b1 ** count.astype(jnp.float32)
-        bc2 = 1 - b2 ** count.astype(jnp.float32)
-        new_params, new_m, new_v = {}, {}, {}
-        for f in T.PARAM_FIELDS:
-            gr = param_grads[f]
-            m = b1 * getattr(state.adam.m, f) + (1 - b1) * gr
-            v = b2 * getattr(state.adam.v, f) + (1 - b2) * gr * gr
-            update = lrs[f] * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-            mask = g.active.reshape((-1,) + (1,) * (gr.ndim - 1))
-            new_params[f] = getattr(g, f) - jnp.where(mask, update, 0.0)
-            new_m[f] = m
-            new_v[f] = v
-        g_new = g.replace(**new_params)
-        adam = T.AdamState(
-            m=state.adam.m.replace(**new_m),
-            v=state.adam.v.replace(**new_v),
-            count=count,
+        g_new, adam = T.apply_adam(
+            g, state.adam, param_grads, state.step, cfg
         )
-        # densification stats: radii are per-device views; take the max /
-        # sum across devices like sequential steps over the same cameras
-        mean2d_grad = jax.lax.psum(mean2d_grad, axis)
-        radii = jax.lax.pmax(radii, axis)
-        stats = state.stats.update(mean2d_grad, radii)
+        # densification stats: D sequential steps over the same cameras
+        # would accumulate D per-camera NDC-scaled grad norms and D
+        # visibility increments — psum the per-device *norms* and
+        # *counts* (not the summed gradient vector), pmax the radii.
+        cam0 = jax.tree_util.tree_map(lambda x: x[0], cam)
+        gnorm = scaled_grad_norm(mean2d_grad, cam0.width, cam0.height)
+        visible = radii > 0
+        grad_sum = jax.lax.psum(jnp.where(visible, gnorm, 0.0), axis)
+        vis_sum = jax.lax.psum(visible.astype(jnp.float32), axis)
+        radii_max = jax.lax.pmax(radii, axis)
+        stats = DensifyStats(
+            grad_accum=state.stats.grad_accum + grad_sum,
+            denom=state.stats.denom + vis_sum,
+            max_radii=jnp.maximum(state.stats.max_radii, radii_max),
+        )
         new_state = T.TrainState(
             gaussians=g_new, adam=adam, stats=stats, step=state.step + 1
         )

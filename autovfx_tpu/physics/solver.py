@@ -382,7 +382,17 @@ def solve_velocities(
     active = (params.rb_type == RB_ACTIVE) & params.enabled
     linvel = jnp.where(active[:, None], linvel, state.linvel)
     angvel = jnp.where(active[:, None], angvel, state.angvel)
-    return state.replace(linvel=linvel, angvel=angvel)
+
+    # per-body impact speed: max pre-solve approach speed over this
+    # body's valid contacts.  Resting contacts approach at ~0, so this
+    # cleanly separates impacts (used for collision-triggered fracture,
+    # the BVH-overlap trigger of all_rendering.py:2394-2423).
+    approach = jnp.where(contacts.valid, jnp.maximum(-vn0, 0.0), 0.0)
+    impact = jnp.zeros((n_bodies,), jnp.float32)
+    impact = impact.at[a].max(approach)
+    b_safe2 = jnp.where(is_static, 0, b)
+    impact = impact.at[b_safe2].max(jnp.where(is_static, 0.0, approach))
+    return state.replace(linvel=linvel, angvel=angvel), impact
 
 
 def position_correction(
@@ -470,7 +480,7 @@ def substep(
         depth=jnp.concatenate([c.depth for c in contact_sets]),
         valid=jnp.concatenate([c.valid for c in contact_sets]),
     )
-    state = solve_velocities(contacts, state, params, cfg, dt)
+    state, impact = solve_velocities(contacts, state, params, cfg, dt)
     state = position_correction(contacts, state, params, cfg)
 
     # ---- deactivation (Bullet sleeping) -------------------------------------
@@ -518,4 +528,4 @@ def substep(
         quat_integrate(state.quat, state.angvel, dt),
         state.quat,
     )
-    return state.replace(pos=pos, quat=quat)
+    return state.replace(pos=pos, quat=quat), impact

@@ -138,9 +138,14 @@ def simulate(
     num_frames: int,
     enabled_schedule=None,
     kinematic=None,
+    return_impacts: bool = False,
 ):
     """Run the jitted frame loop; returns per-frame (pos, quat) plus the
     final BodyState.  pos/quat are COM trajectories (F, B, ...).
+
+    ``return_impacts``: also return (F, B) per-frame max contact approach
+    speed per body — the collision-triggered-fracture signal (the
+    reference's per-frame BVH overlap check, all_rendering.py:2394-2423).
 
     ``enabled_schedule``: optional (frames, bodies) bool — per-frame
     physics on/off from the event system (edit/events.py), replacing the
@@ -200,19 +205,22 @@ def simulate(
                 )
 
             def sub(s, _):
-                return S.substep(shape, s, params_f, grid, cfg), None
+                s2, impact = S.substep(shape, s, params_f, grid, cfg)
+                return s2, impact
 
-            state, _ = jax.lax.scan(
+            state, impacts = jax.lax.scan(
                 sub, state, None, length=cfg.substeps_per_frame
             )
-            return state, (state.pos, state.quat)
+            return state, (state.pos, state.quat, impacts.max(axis=0))
 
         final, traj = jax.lax.scan(
             frame, state, (sched, kin_pos_j, kin_quat_j, kin_pos_next)
         )
         return final, traj
 
-    final, (pos, quat) = run(world.state, sched)
+    final, (pos, quat, impacts) = run(world.state, sched)
+    if return_impacts:
+        return final, np.asarray(pos), np.asarray(quat), np.asarray(impacts)
     return final, np.asarray(pos), np.asarray(quat)
 
 

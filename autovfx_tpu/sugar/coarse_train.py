@@ -21,7 +21,6 @@ from autovfx_tpu.core.gaussians import Gaussians
 from autovfx_tpu.ops.rasterize import rasterize
 from autovfx_tpu.sugar import regularization as REG
 from autovfx_tpu.train import trainer as T
-from autovfx_tpu.train.densify import DensifyStats
 
 
 @flax.struct.dataclass
@@ -111,37 +110,24 @@ def coarse_train(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, offset0)
         param_grads, mean2d_grad = grads
-        lrs = T.field_lrs(state.step, base)
-        b1, b2, eps = 0.9, 0.999, 1e-15
-        count = state.adam.count + 1
-        bc1 = 1 - b1 ** count.astype(jnp.float32)
-        bc2 = 1 - b2 ** count.astype(jnp.float32)
-        new_params, new_m, new_v = {}, {}, {}
-        for f in T.PARAM_FIELDS:
-            gr = param_grads[f]
-            m = b1 * getattr(state.adam.m, f) + (1 - b1) * gr
-            v = b2 * getattr(state.adam.v, f) + (1 - b2) * gr * gr
-            update = lrs[f] * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-            mask = g_cur.active.reshape((-1,) + (1,) * (gr.ndim - 1))
-            new_params[f] = getattr(g_cur, f) - jnp.where(mask, update, 0.0)
-            new_m[f] = m
-            new_v[f] = v
+        g_new, adam = T.apply_adam(
+            g_cur, state.adam, param_grads, state.step, base
+        )
         new_state = T.TrainState(
-            gaussians=g_cur.replace(**new_params),
-            adam=T.AdamState(
-                m=state.adam.m.replace(**new_m),
-                v=state.adam.v.replace(**new_v),
-                count=count,
+            gaussians=g_new,
+            adam=adam,
+            stats=state.stats.update(
+                mean2d_grad, radii, cam.width, cam.height
             ),
-            stats=state.stats.update(mean2d_grad, radii),
             step=state.step + 1,
         )
         return new_state, T.StepAux(loss=loss, psnr=psnr, overflow=overflow)
 
     step_reg = jax.jit(lambda s, c, i, k: step(s, c, i, k, True))
     step_plain = jax.jit(lambda s, c, i, k: step(s, c, i, k, False))
-
-    from autovfx_tpu.train.densify import densify_and_prune
+    densify_fn = jax.jit(
+        lambda s, k, it: T.densify_step(s, k, base, it), static_argnums=(2,)
+    )
 
     history = []
     for it in range(1, base.iterations + 1):
@@ -166,18 +152,10 @@ def coarse_train(
             and it % base.densification_interval == 0
             and not regularize
         ):
-            res = densify_and_prune(
-                state.gaussians,
-                state.stats,
-                k2,
-                grad_threshold=base.densify_grad_threshold,
-                min_opacity=base.min_opacity,
-                extent=base.spatial_lr_scale,
-                percent_dense=base.percent_dense,
-            )
-            state = state.replace(
-                gaussians=res.gaussians, stats=res.stats
-            )
+            # densify_step also zeroes Adam moments of reallocated slots
+            # (trainer.py:densify_step), matching the reference optimizer
+            # surgery in gaussian_model.py:280-333
+            state, _res = densify_fn(state, k2, it)
         if log_every and it % log_every == 0:
             history.append(
                 {"iter": it, "loss": float(aux.loss), "psnr": float(aux.psnr)}

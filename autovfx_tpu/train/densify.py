@@ -42,15 +42,37 @@ class DensifyStats:
             max_radii=jnp.zeros((capacity,), jnp.int32),
         )
 
-    def update(self, mean2d_grad: jax.Array, radii: jax.Array):
-        """Accumulate per-iteration stats (add_densification_stats)."""
+    def update(
+        self,
+        mean2d_grad: jax.Array,
+        radii: jax.Array,
+        width: int,
+        height: int,
+    ):
+        """Accumulate per-iteration stats (add_densification_stats).
+
+        The reference accumulates the NDC-scaled screen gradient: the
+        CUDA backward multiplies dL/dmean2D by 0.5*W / 0.5*H
+        (backward.cu:488) before ``add_densification_stats``
+        (gaussian_model.py:415-417), and the default grad_threshold
+        2e-4 is calibrated to those units.  Our rasterizer produces
+        pixel-space gradients, so scale here to reference units.
+        """
         visible = radii > 0
-        gnorm = jnp.linalg.norm(mean2d_grad, axis=-1)
+        gnorm = scaled_grad_norm(mean2d_grad, width, height)
         return DensifyStats(
             grad_accum=self.grad_accum + jnp.where(visible, gnorm, 0.0),
             denom=self.denom + visible.astype(jnp.float32),
             max_radii=jnp.maximum(self.max_radii, radii),
         )
+
+
+def scaled_grad_norm(
+    mean2d_grad: jax.Array, width: int, height: int
+) -> jax.Array:
+    """||dL/dmean2D * [0.5*W, 0.5*H]|| — reference (NDC) gradient units."""
+    scale = jnp.array([0.5 * width, 0.5 * height], jnp.float32)
+    return jnp.linalg.norm(mean2d_grad * scale, axis=-1)
 
 
 class DensifyResult(NamedTuple):

@@ -217,6 +217,41 @@ def compute_loss(
     return loss, (out.radii, out.overflow, L.psnr(out.color, gt_rgb))
 
 
+def apply_adam(
+    g: Gaussians,
+    adam: AdamState,
+    param_grads: dict,
+    step: jax.Array,
+    cfg: TrainConfig,
+) -> tuple[Gaussians, AdamState]:
+    """Per-field Adam update masked to active slots (shared by the
+    sequential trainer and the DP path in autovfx_tpu/parallel)."""
+    lrs = field_lrs(step, cfg)
+    b1, b2, eps = 0.9, 0.999, 1e-15
+    count = adam.count + 1
+    bc1 = 1 - b1 ** count.astype(jnp.float32)
+    bc2 = 1 - b2 ** count.astype(jnp.float32)
+
+    new_params, new_m, new_v = {}, {}, {}
+    for f in PARAM_FIELDS:
+        gr = param_grads[f]
+        m = b1 * getattr(adam.m, f) + (1 - b1) * gr
+        v = b2 * getattr(adam.v, f) + (1 - b2) * gr * gr
+        update = lrs[f] * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+        mask = g.active.reshape((-1,) + (1,) * (gr.ndim - 1))
+        new_params[f] = getattr(g, f) - jnp.where(mask, update, 0.0)
+        new_m[f] = m
+        new_v[f] = v
+
+    g_new = g.replace(**new_params)
+    adam_new = AdamState(
+        m=adam.m.replace(**new_m),
+        v=adam.v.replace(**new_v),
+        count=count,
+    )
+    return g_new, adam_new
+
+
 def train_step(
     state: TrainState,
     cam: Camera,
@@ -240,34 +275,8 @@ def train_step(
     )(params, offset0)
     param_grads, mean2d_grad = grads
 
-    # Adam (per-field LR; moments masked to active slots)
-    lrs = field_lrs(state.step, cfg)
-    b1, b2, eps = 0.9, 0.999, 1e-15
-    count = state.adam.count + 1
-    bc1 = 1 - b1 ** count.astype(jnp.float32)
-    bc2 = 1 - b2 ** count.astype(jnp.float32)
-
-    new_params = {}
-    new_m = {}
-    new_v = {}
-    for f in PARAM_FIELDS:
-        gr = param_grads[f]
-        m = b1 * getattr(state.adam.m, f) + (1 - b1) * gr
-        v = b2 * getattr(state.adam.v, f) + (1 - b2) * gr * gr
-        update = lrs[f] * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-        active = g.active
-        mask = active.reshape((-1,) + (1,) * (gr.ndim - 1))
-        new_params[f] = getattr(g, f) - jnp.where(mask, update, 0.0)
-        new_m[f] = m
-        new_v[f] = v
-
-    g_new = g.replace(**new_params)
-    adam = AdamState(
-        m=state.adam.m.replace(**new_m),
-        v=state.adam.v.replace(**new_v),
-        count=count,
-    )
-    stats = state.stats.update(mean2d_grad, radii)
+    g_new, adam = apply_adam(g, state.adam, param_grads, state.step, cfg)
+    stats = state.stats.update(mean2d_grad, radii, cam.width, cam.height)
     new_state = TrainState(
         gaussians=g_new, adam=adam, stats=stats, step=state.step + 1
     )

@@ -352,6 +352,95 @@ class TestBreakEvent:
         assert np.isfinite(frames).all()
 
 
+class TestCollisionFracture:
+    def _make_scene(self, root):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_edit import box_mesh, ground_mesh
+
+        from autovfx_tpu.core import cameras as C, ply_io
+        from autovfx_tpu.edit import mesh_io
+        from autovfx_tpu.edit.scene_representation import (
+            SceneParams,
+            SceneRepresentation,
+        )
+        from autovfx_tpu.utils.synthetic import make_gaussians
+
+        g = make_gaussians(100, jax.random.PRNGKey(0), spread=1.5)
+        g = g.replace(xyz=g.xyz.at[:, 2].multiply(0.1))
+        ply_io.save_ply(os.path.join(root, "scene.ply"), g)
+        mesh_io.save_obj(os.path.join(root, "scene_mesh.obj"), ground_mesh())
+        cams = C.stack_cameras(
+            [
+                C.look_at_camera(
+                    [3, 0.2 * i, 1.6], [0, 0, 0], [0, 0, 1],
+                    fx=40.0, fy=40.0, width=48, height=36,
+                )
+                for i in range(6)
+            ]
+        )
+        os.makedirs(os.path.join(root, "custom_camera_path"), exist_ok=True)
+        C.save_custom_trajectory(
+            os.path.join(root, "custom_camera_path/t.json"), cams
+        )
+        vase = os.path.join(root, "vase.obj")
+        mesh_io.save_obj(vase, box_mesh(0.5, color=(0.2, 0.4, 0.9)))
+        return SceneRepresentation(
+            SceneParams(
+                source_path=root, model_path=root,
+                gaussians_ckpt_path=os.path.join(root, "scene.ply"),
+                scene_mesh_path=os.path.join(root, "scene_mesh.obj"),
+                custom_traj_name="t",
+                cache_dir=os.path.join(root, "cache"),
+                dup_budget=1 << 14,
+                light_samples=4,
+            )
+        ), vase
+
+    def _dropped_object(self, vase, fracture: bool):
+        from autovfx_tpu.edit import edit_utils as EU
+        from autovfx_tpu.edit.edit_ir import default_object_info
+
+        obj = default_object_info()
+        obj["object_id"] = "vase"
+        obj["object_name"] = "vase"
+        obj["object_path"] = vase
+        obj["pos"] = np.array([0, 0, 0.45], np.float32)
+        obj["scale"] = 0.4
+        obj = EU.allow_physics(obj)
+        if fracture:
+            obj = EU.allow_fracture(obj)
+        return obj
+
+    def test_allow_fracture_shatters_on_impact(self, tmp_path):
+        from autovfx_tpu.edit import edit_utils as EU
+
+        scene, vase = self._make_scene(str(tmp_path))
+        EU.insert_object(scene, self._dropped_object(vase, fracture=True))
+        rb = scene.run_physics()
+        frag_keys = [k for k in rb if k.startswith("vase_frag")]
+        assert len(frag_keys) >= 4, "fracture-flagged drop must shatter"
+        # the shatter happens at impact (not at frame 0: the object is
+        # airborne for the first frames of the fall)
+        f_break = min(
+            int(k) for k in rb[frag_keys[0]].keys()
+        )
+        assert f_break >= 2
+        # debris enters the draw list only after the impact
+        assert len(scene._draw_list(scene.total_frames - 1)) > len(
+            scene._draw_list(0)
+        )
+
+    def test_plain_physics_does_not_shatter(self, tmp_path):
+        from autovfx_tpu.edit import edit_utils as EU
+
+        scene, vase = self._make_scene(str(tmp_path))
+        EU.insert_object(scene, self._dropped_object(vase, fracture=False))
+        rb = scene.run_physics()
+        assert not [k for k in rb if "_frag" in k]
+
+
 class TestMeltIncinerate:
     def test_melt_deformation(self):
         from autovfx_tpu.render.melt import melt_surfels

@@ -149,6 +149,30 @@ class TestDensify:
         op = np.asarray(g2.opacity)[np.asarray(g2.active)]
         assert (op <= 0.0101).all()
 
+    def test_stats_update_reference_units(self):
+        # The default grad_threshold 2e-4 is calibrated to the CUDA
+        # backward's NDC-scaled mean2D gradient (backward.cu:488:
+        # dL_dmean2D * 0.5*W / 0.5*H).  A realistic-image pixel-space
+        # gradient must be scaled into those units or densification
+        # never triggers.
+        g = self.make()
+        w, h = 1296, 840
+        stats = DensifyStats.zero(g.capacity)
+        pix_grad = jnp.full((g.capacity, 2), 4e-7, jnp.float32)
+        # raw pixel-space norm is far below threshold...
+        assert float(jnp.linalg.norm(pix_grad[0])) < 2e-4
+        radii = jnp.where(g.active, 5, 0).astype(jnp.int32)
+        stats = stats.update(pix_grad, radii, w, h)
+        # ...but in reference units it crosses it
+        assert float(stats.grad_accum[0]) >= 2e-4
+        g_small = g.replace(
+            log_scales=jnp.full((g.capacity, 3), np.log(0.001))
+        )
+        res = densify_and_prune(
+            g_small, stats, jax.random.PRNGKey(1), extent=5.0
+        )
+        assert int(res.n_cloned) == 64
+
 
 class TestTrainEndToEnd:
     @pytest.mark.slow
