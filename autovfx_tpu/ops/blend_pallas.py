@@ -56,6 +56,7 @@ FEAT8 = 8  # bf16-paired fast mode: gathers of <=8 sublanes run 1.6x faster
 OUT_ROWS = 8  # [r, g, b, depth, alpha, 0, 0, 0]
 NEG_INF = -1e30
 LOG_OP_MIN = -100.0  # stand-in for log(0) on inert slots
+LOG_T_EPS = -9.210340371976182  # log(T_EPS): freeze test in log space
 
 
 def _pixel_basis(tile: int = TILE):
@@ -130,6 +131,7 @@ def _unpack_bf16_pair(row):
 def _fwd_kernel(
     tile_start_ref, tile_chunks_ref, feat_ref, out_ref, fbuf, sems,
     *, tiles_x: int, tile: int, chunk: int, packed: bool = False,
+    prefix_split: int = 4,
 ):
     P = tile * tile  # noqa: N806
     t = pl.program_id(0)
@@ -139,7 +141,7 @@ def _fwd_kernel(
     oy = ((t // tiles_x) * tile).astype(jnp.float32)
 
     basis = _pixel_basis(tile)
-    tri = _tri_strict(chunk)
+    tri = _tri_strict(max(chunk // prefix_split, 8))
     ones_p = jnp.ones((1, P), jnp.float32)
 
     def chunk_dma(slot, c):
@@ -178,15 +180,29 @@ def _fwd_kernel(
             if packed
             else jax.lax.Precision.HIGHEST
         )
-        exc = jax.lax.dot_general(
-            tri,
-            lg,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
+        # hierarchical prefix: a (C, C) strict-tri matmul contracts over
+        # all C duplicates; splitting into G groups of S cuts the MXU
+        # work to G·S²·P + G group-total adds (exact same math)
+        groups = chunk // tri.shape[0]
+        exc_parts = []
+        base = jnp.zeros((1, P), jnp.float32)
+        s = tri.shape[0]
+        for gi in range(groups):
+            lg_g = jax.lax.slice_in_dim(lg, gi * s, (gi + 1) * s, axis=0)
+            exc_g = jax.lax.dot_general(
+                tri,
+                lg_g,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            exc_parts.append(exc_g + base)
+            base = base + jnp.sum(lg_g, axis=0, keepdims=True)
+        exc = jnp.concatenate(exc_parts, axis=0)
         exc_raw = exc + logT
-        cond_f = (jnp.exp(exc_raw) * (1.0 - alpha) < T_EPS) | (done > 0.5)
+        # freeze test in log space (exp is monotone): saves one
+        # (C, P) transcendental per chunk vs exp(exc_raw)*(1-α) < T_EPS
+        cond_f = (exc_raw + lg < LOG_T_EPS) | (done > 0.5)
         frozen = jnp.max(
             jnp.where(cond_f, exc_raw, NEG_INF), axis=0, keepdims=True
         )
@@ -209,9 +225,8 @@ def _fwd_kernel(
             [contrib, jnp.zeros((OUT_ROWS - 4, P), jnp.float32)],
             axis=0,
         )
-        logT_new = jnp.maximum(
-            logT + jnp.sum(lg, axis=0, keepdims=True), frozen
-        )
+        # base already holds Σ lg over the whole chunk
+        logT_new = jnp.maximum(logT + base, frozen)
         done_new = jnp.maximum(
             done, jnp.max(cond_f.astype(jnp.float32), axis=0, keepdims=True)
         )

@@ -62,41 +62,63 @@ def rasterize(
     config: RasterConfig = RasterConfig(),
     override_color: jax.Array | None = None,
     mean2d_offset: jax.Array | None = None,
+    packed_rows: jax.Array | None = None,
 ) -> RenderOutput:
     """Render Gaussians through one camera.
 
     ``mean2d_offset``: optional zeros (N, 2); differentiate w.r.t. it to get
     screen-space position gradients for densification (the reference's
     ``screenspace_points`` trick).
+
+    ``packed_rows``: optional field-major scene layout from
+    ``preprocess_pallas.pack_scene_rows(g)`` — routes preprocessing + \
+feature packing through the fused Pallas kernel (inference fast path;
+    requires the pallas backend with feature_pack="bf16").
     """
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
-
-    splats = projection.preprocess(
-        g,
-        cam,
-        scaling_modifier=config.scaling_modifier,
-        override_color=override_color,
-        sh_degree=config.sh_degree,
-        mean2d_offset=mean2d_offset,
-        tile=config.tile,
-    )
-    binned = binning.bin_splats(
-        splats, cam.width, cam.height, config.dup_budget,
-        tile=config.tile, chunk=config.chunk,
-    )
 
     from autovfx_tpu.ops import blend_pallas
 
     backend = _select_backend(config.backend)
     packed = config.feature_pack == "bf16" and backend == "pallas"
 
-    # per-gaussian rows (O(N), differentiable), then ONE per-duplicate
-    # column gather (VJP = the segment-sum that replaces CUDA atomicAdd)
-    if packed:
-        feat_g = blend_pallas.pack_gaussian_features_8(splats)
+    use_fused = (
+        packed_rows is not None
+        and packed
+        and override_color is None
+        and mean2d_offset is None
+        and config.sh_degree is None
+    )
+    if use_fused:
+        from autovfx_tpu.ops import preprocess_pallas as PP
+
+        ps = PP.preprocess_packed(
+            packed_rows, g.capacity, cam, tile=config.tile,
+            scaling_modifier=config.scaling_modifier,
+        )
+        splats, feat_g = ps.splats, ps.feat
     else:
-        feat_g = blend_pallas.pack_gaussian_features(splats)  # (16, N+1)
+        splats = projection.preprocess(
+            g,
+            cam,
+            scaling_modifier=config.scaling_modifier,
+            override_color=override_color,
+            sh_degree=config.sh_degree,
+            mean2d_offset=mean2d_offset,
+            tile=config.tile,
+        )
+        # per-gaussian rows (O(N), differentiable); VJP of the gather
+        # below is the segment-sum that replaces CUDA atomicAdd
+        if packed:
+            feat_g = blend_pallas.pack_gaussian_features_8(splats)
+        else:
+            feat_g = blend_pallas.pack_gaussian_features(splats)
+
+    binned = binning.bin_splats(
+        splats, cam.width, cam.height, config.dup_budget,
+        tile=config.tile, chunk=config.chunk,
+    )
     feat_dup = feat_g[:, binned.gid]  # (16 or 8, K)
 
     tx, ty = binned.num_tiles_x, binned.num_tiles_y
@@ -133,11 +155,13 @@ def rasterize(
         )
     img_color = img_color + (1.0 - img_alpha)[..., None] * bg
 
+    # fused path runs at the padded capacity; radii report the true one
+    radii = splats.radius[: g.capacity] if use_fused else splats.radius
     return RenderOutput(
         color=img_color,
         depth=img_depth,
         alpha=img_alpha,
-        radii=splats.radius,
+        radii=radii,
         overflow=binned.overflow,
     )
 

