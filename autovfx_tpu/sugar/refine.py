@@ -173,8 +173,6 @@ def bake_texture(
     n_squares = per_row * per_row
     assert n_faces <= 2 * n_squares, "texture too small for face count"
 
-    tex = np.zeros((texture_size, texture_size, 3), np.float32)
-    uv = np.zeros((n_faces, 3, 2), np.float32)
     sq = np.arange(n_faces) // 2
     upper = np.arange(n_faces) % 2 == 0
     row = sq // per_row
@@ -182,28 +180,94 @@ def bake_texture(
     x0 = col * square_size
     y0 = row * square_size
 
-    # fill squares with mean face color (flat shading; barycentric
-    # gradients are a refinement TODO)
-    face_col = vc[f].mean(axis=1)
+    # barycentric-gradient fill (vectorized over faces): the upper-left
+    # triangle maps its vertices to square coords (0,0),(1,0),(0,1); the
+    # lower-right to (1,1),(0,1),(1,0).  Per-texel barycentric weights
+    # are affine in (u, v) and shared by every square.
+    g = (np.arange(square_size) + 0.5) / square_size
+    uu, vv = np.meshgrid(g, g)  # (s, s) texel centers
+    w_up = np.stack([1.0 - uu - vv, uu, vv], axis=-1)
+    w_lo = np.stack([uu + vv - 1.0, 1.0 - uu, 1.0 - vv], axis=-1)
+    # clamp + renormalize so texels across the diagonal extrapolate
+    # sanely (they belong to the other triangle; bleeding matches it)
+    for w in (w_up, w_lo):
+        np.clip(w, 0.0, None, out=w)
+        w /= np.maximum(w.sum(-1, keepdims=True), 1e-9)
+
+    tri_col = vc[f]  # (F, 3, 3)
+    w_face = np.where(upper[:, None, None, None], w_up, w_lo)  # (F,s,s,3)
+    squares = np.einsum("fyxk,fkc->fyxc", w_face, tri_col)  # (F,s,s,3)
+
+    tex = np.zeros((texture_size, texture_size, 3), np.float32)
+    # two faces share a square: blend by per-texel triangle membership
+    # (upper face wins above the anti-diagonal, lower below)
+    up_mask = (uu + vv <= 1.0)[..., None]
     for i in range(n_faces):
-        tex[y0[i] : y0[i] + square_size, x0[i] : x0[i] + square_size] = (
-            face_col[i]
+        ys, xs = slice(y0[i], y0[i] + square_size), slice(
+            x0[i], x0[i] + square_size
         )
+        m = up_mask if upper[i] else ~up_mask
+        tex[ys, xs] = np.where(m, squares[i], tex[ys, xs])
 
     eps = 1.0 / texture_size
-    for i in range(n_faces):
-        u0, v0 = x0[i] / texture_size, y0[i] / texture_size
-        s = square_size / texture_size
-        if upper[i]:
-            uv[i] = [
-                [u0 + eps, v0 + eps],
-                [u0 + s - eps, v0 + eps],
-                [u0 + eps, v0 + s - eps],
-            ]
-        else:
-            uv[i] = [
-                [u0 + s - eps, v0 + s - eps],
-                [u0 + eps, v0 + s - eps],
-                [u0 + s - eps, v0 + eps],
-            ]
+    s = square_size / texture_size
+    u0 = x0 / texture_size
+    v0 = y0 / texture_size
+    uv = np.where(
+        upper[:, None, None],
+        np.stack(
+            [
+                np.stack([u0 + eps, v0 + eps], -1),
+                np.stack([u0 + s - eps, v0 + eps], -1),
+                np.stack([u0 + eps, v0 + s - eps], -1),
+            ],
+            axis=1,
+        ),
+        np.stack(
+            [
+                np.stack([u0 + s - eps, v0 + s - eps], -1),
+                np.stack([u0 + eps, v0 + s - eps], -1),
+                np.stack([u0 + s - eps, v0 + eps], -1),
+            ],
+            axis=1,
+        ),
+    ).astype(np.float32)
     return tex, uv.reshape(-1, 2)
+
+
+def export_refined_mesh(
+    bg: BoundGaussians,
+    path: str,
+    texture_size: int = 1024,
+    square_size: int = 8,
+) -> None:
+    """Write the refined surface as OBJ + MTL + PNG texture
+    (refined_mesh.py:14-226 equivalent: textured-mesh export driver)."""
+    import os
+
+    tex, uv = bake_texture(bg, texture_size, square_size)
+    base, _ = os.path.splitext(path)
+    name = os.path.basename(base)
+    v = np.asarray(bg.vertices)
+    f = np.asarray(bg.faces)
+
+    from PIL import Image
+
+    Image.fromarray(
+        (np.clip(tex, 0.0, 1.0) * 255).astype(np.uint8)
+    ).save(base + ".png")
+    with open(base + ".mtl", "w") as fh:
+        fh.write(
+            f"newmtl material_0\nKd 1.0 1.0 1.0\nmap_Kd {name}.png\n"
+        )
+    lines = [f"mtllib {name}.mtl", "usemtl material_0"]
+    lines += [f"v {a:.6f} {b:.6f} {c:.6f}" for a, b, c in v]
+    # OBJ vt origin is bottom-left; texture rows are top-down
+    lines += [f"vt {u:.6f} {1.0 - w:.6f}" for u, w in uv]
+    for i, (a, b, c) in enumerate(f):
+        t = 3 * i
+        lines.append(
+            f"f {a + 1}/{t + 1} {b + 1}/{t + 2} {c + 1}/{t + 3}"
+        )
+    with open(base + ".obj", "w") as fh:
+        fh.write("\n".join(lines) + "\n")

@@ -261,3 +261,139 @@ class TestCoarseTrain:
         assert np.isfinite(
             np.asarray(state.gaussians.xyz)
         ).all()
+
+
+def _octa_mesh(subdiv=1, radius=0.8):
+    """Subdivided octahedron sphere (small, watertight)."""
+    from autovfx_tpu.edit.mesh_io import Mesh
+
+    v = np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1],
+         [0, 0, -1]], np.float64
+    )
+    f = np.array(
+        [[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+         [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]], np.int64
+    )
+    for _ in range(subdiv):
+        mids = {}
+        nv = list(v)
+        nf = []
+
+        def mid(a, b):
+            k = (min(a, b), max(a, b))
+            if k not in mids:
+                m = 0.5 * (v[a] + v[b])
+                mids[k] = len(nv)
+                nv.append(m)
+            return mids[k]
+
+        for a, b, c in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            nf += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        v = np.array(nv)
+        f = np.array(nf, np.int64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True) * radius
+    col = 0.5 + 0.5 * v / radius  # position-derived smooth colors
+    return Mesh(
+        vertices=v.astype(np.float32), faces=f,
+        vertex_colors=col.astype(np.float32),
+    )
+
+
+class TestRefineTrain:
+    def test_adjacency(self):
+        from autovfx_tpu.sugar.refine_train import mesh_adjacency
+
+        m = _octa_mesh(subdiv=0)
+        adj = mesh_adjacency(m.faces, len(m.vertices))
+        # octahedron: 12 edges, each shared by exactly 2 faces
+        assert len(adj.face_pairs) == 12
+        assert adj.degree.sum() == 24  # 2 * edges
+
+    def test_normal_consistency_flat_vs_bumpy(self):
+        from autovfx_tpu.sugar import refine_train as RT
+
+        m = _octa_mesh(subdiv=1)
+        adj = RT.mesh_adjacency(m.faces, len(m.vertices))
+        v = jnp.asarray(m.vertices)
+        f = jnp.asarray(m.faces)
+        pairs = jnp.asarray(adj.face_pairs)
+        smooth = RT.normal_consistency_loss(v, f, pairs)
+        rng = np.random.RandomState(0)
+        bump = v + jnp.asarray(
+            0.15 * rng.randn(*v.shape).astype(np.float32)
+        )
+        bumpy = RT.normal_consistency_loss(bump, f, pairs)
+        assert float(bumpy) > float(smooth)
+
+    def test_refine_improves_psnr_and_exports(self, tmp_path):
+        from autovfx_tpu.ops.rasterize import rasterize
+        from autovfx_tpu.sugar.refine import (
+            bind_to_mesh, export_refined_mesh, realize,
+        )
+        from autovfx_tpu.sugar.refine_train import (
+            RefineConfig, refine_train,
+        )
+
+        m = _octa_mesh(subdiv=1)
+        gt = bind_to_mesh(m, n_per_triangle=1)
+        cams = C.stack_cameras(
+            [
+                C.look_at_camera(
+                    [2.5 * np.cos(a), 2.5 * np.sin(a), 0.8],
+                    [0, 0, 0], [0, 0, 1],
+                    fx=40.0, fy=40.0, width=48, height=36,
+                )
+                for a in np.linspace(0, 2 * np.pi, 4, endpoint=False)
+            ]
+        )
+        imgs = jnp.stack(
+            [
+                rasterize(
+                    realize(gt), C.index_camera(cams, i), config=CFG
+                ).color
+                for i in range(4)
+            ]
+        )
+        # perturb colors badly; training must recover them
+        start = gt.replace(
+            vertex_colors=jnp.full_like(gt.vertex_colors, 0.5)
+        )
+        cfg = RefineConfig(
+            iterations=60, raster=CFG, normal_consistency=0.1,
+            feature_lr=0.05,
+        )
+        refined, hist = refine_train(
+            start, cams, imgs, cfg, log_every=10
+        )
+        assert hist[-1]["psnr"] > hist[0]["psnr"] + 1.0
+        assert np.isfinite(np.asarray(refined.vertices)).all()
+
+        export_refined_mesh(refined, str(tmp_path / "refined.obj"),
+                            texture_size=128, square_size=8)
+        assert (tmp_path / "refined.obj").exists()
+        assert (tmp_path / "refined.mtl").exists()
+        assert (tmp_path / "refined.png").exists()
+        text = (tmp_path / "refined.obj").read_text()
+        assert "vt " in text and "f " in text
+
+    def test_bake_texture_barycentric_gradient(self):
+        from autovfx_tpu.sugar.refine import bake_texture, bind_to_mesh
+        from autovfx_tpu.edit.mesh_io import Mesh
+
+        v = np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32
+        )
+        f = np.array([[0, 1, 2]], np.int64)
+        c = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+        bg = bind_to_mesh(Mesh(vertices=v, faces=f, vertex_colors=c))
+        tex, uv = bake_texture(bg, texture_size=16, square_size=8)
+        sq = tex[:8, :8]
+        # corner texels approach the three vertex colors (gradient,
+        # not flat): v0 red at (0,0), v1 green at (0,7), v2 blue (7,0)
+        assert sq[0, 0, 0] > 0.7 and sq[0, 0, 1] < 0.3
+        assert sq[0, 7, 1] > 0.7 and sq[0, 7, 0] < 0.3
+        assert sq[7, 0, 2] > 0.7 and sq[7, 0, 0] < 0.3
+        # center is a mix, not equal to any corner
+        assert 0.2 < sq[3, 3].max() < 0.7
