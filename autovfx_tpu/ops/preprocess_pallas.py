@@ -84,6 +84,16 @@ def pack_scene_rows(g: Gaussians) -> jax.Array:
     return rows.reshape(ROWS, m, 128)
 
 
+def concat_rows(*rows_list: jax.Array) -> jax.Array:
+    """Concatenate scene-rows layouts into one merged scene.
+
+    Interior padding columns are inert (``active`` row is zero there),
+    so merging is a pure block concat — used to splice per-frame object
+    splats onto a static background without re-packing the scene.
+    """
+    return jnp.concatenate(rows_list, axis=1)
+
+
 def _camera_params(cam: Camera, scaling_modifier: float) -> jax.Array:
     r = cam.R.reshape(9)
     return jnp.concatenate(

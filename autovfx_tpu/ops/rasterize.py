@@ -166,6 +166,56 @@ feature packing through the fused Pallas kernel (inference fast path;
     )
 
 
+def rasterize_rows(
+    packed_rows: jax.Array,
+    cam: Camera,
+    bg: jax.Array | None = None,
+    config: RasterConfig = RasterConfig(),
+) -> RenderOutput:
+    """Render directly from a field-major scene-rows layout
+    (``preprocess_pallas.pack_scene_rows`` / ``concat_rows``) without a
+    ``Gaussians`` pytree — the inference fast path for merged scenes
+    (e.g. background + per-frame shaded object splats in ONE pass).
+
+    Requires the Pallas backend with ``feature_pack="bf16"``; radii are
+    reported at the padded row capacity.
+    """
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+    from autovfx_tpu.ops import blend_pallas
+    from autovfx_tpu.ops import preprocess_pallas as PP
+
+    n_pad = packed_rows.shape[1] * 128
+    ps = PP.preprocess_packed(
+        packed_rows, n_pad, cam, tile=config.tile,
+        scaling_modifier=config.scaling_modifier,
+    )
+    splats, feat_g = ps.splats, ps.feat
+    binned = binning.bin_splats(
+        splats, cam.width, cam.height, config.dup_budget,
+        tile=config.tile, chunk=config.chunk,
+    )
+    feat_dup = feat_g[:, binned.gid]
+    tx, ty = binned.num_tiles_x, binned.num_tiles_y
+    out_rows = blend_pallas._blend_fwd_call(
+        feat_dup, binned.tile_start, binned.tile_chunks,
+        tx * ty, tx, config.tile, config.chunk,
+    )
+    rows = blend_ref.assemble_rows(
+        out_rows, tx, ty, cam.width, cam.height, tile=config.tile
+    )
+    img_color = jnp.moveaxis(rows[0:3], 0, -1)
+    img_alpha = rows[4]
+    img_color = img_color + (1.0 - img_alpha)[..., None] * bg
+    return RenderOutput(
+        color=img_color,
+        depth=rows[3],
+        alpha=img_alpha,
+        radii=splats.radius,
+        overflow=binned.overflow,
+    )
+
+
 class RenderDict(NamedTuple):
     """Full reference-render bundle (gaussian_renderer.render parity)."""
 

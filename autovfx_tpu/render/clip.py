@@ -54,6 +54,9 @@ class ClipInputs(NamedTuple):
     env_sh: jax.Array  # (9, 3)
     light_dirs: jax.Array  # (L, 3)
     light_weights: jax.Array  # (L,)
+    # optional: static field-major scene rows of ``bg`` for the fused
+    # single-pass path (preprocess_pallas.pack_scene_rows)
+    bg_rows: jax.Array | None = None
 
 
 def build_clip_inputs(
@@ -66,6 +69,7 @@ def build_clip_inputs(
     hull_shape,
     env: np.ndarray,
     num_lights: int = 32,
+    pack_rows: bool = False,
 ) -> ClipInputs:
     """Host-side assembly (surfels: per-object dicts from
     meshsplat.sample_mesh_surfels, aligned with objects/trajectories)."""
@@ -93,8 +97,14 @@ def build_clip_inputs(
             )
         )
     dirs, contrib = importance_directions(env, num_lights)
+    bg_rows = None
+    if pack_rows:
+        from autovfx_tpu.ops import preprocess_pallas as PP
+
+        bg_rows = jax.jit(PP.pack_scene_rows)(bg)
     return ClipInputs(
         bg=bg,
+        bg_rows=bg_rows,
         cams=cams,
         surf_points=jnp.asarray(np.concatenate(pts)),
         surf_normals=jnp.asarray(np.concatenate(nrm)),
@@ -118,19 +128,11 @@ def build_clip_inputs(
     )
 
 
-def render_edited_frame(
-    inp: ClipInputs, frame_idx, config: RasterConfig
-) -> jax.Array:
-    """One edited frame (jit-safe; frame_idx traced)."""
-    cam = index_camera(inp.cams, frame_idx)
-
-    # 1. background pass
-    bg_out = rasterize(inp.bg, cam, config=config)
-    bg_alpha = jnp.clip(bg_out.alpha, 0.0, 1.0)
-    scene_depth = bg_out.depth / jnp.maximum(bg_alpha, 1e-6)
-    scene_depth = jnp.where(bg_alpha > 0.01, scene_depth, 1e9)
-
-    # 2. objects: transform surfels by this frame's rigid poses
+def shaded_object_gaussians(
+    inp: ClipInputs, frame_idx, cam
+) -> Gaussians:
+    """IBL-shaded object surfels at this frame's rigid poses, as flat
+    normal-aligned splats (shared by the multi-pass and fused paths)."""
     rot = inp.traj_rot[frame_idx]  # (B, 3, 3)
     pos = inp.traj_pos[frame_idx]  # (B, 3)
     s = inp.traj_scale[inp.surf_body][:, None]
@@ -155,30 +157,47 @@ def render_edited_frame(
         roughness=inp.surf_rough[:, None],
         metallic=inp.surf_metal[:, None],
     )
-    g_obj = RMS.surfels_to_gaussians(
-        p_world, n_shade, shaded, 1.0
-    )
+    g_obj = RMS.surfels_to_gaussians(p_world, n_shade, shaded, 1.0)
     # per-surfel radii (surfels_to_gaussians takes a scalar; fix up)
     scaled_r = inp.surf_radius * inp.traj_scale[inp.surf_body]
-    g_obj = g_obj.replace(
+    return g_obj.replace(
         log_scales=jnp.log(
-            jnp.stack(
-                [scaled_r, scaled_r, scaled_r * 0.1], axis=-1
-            )
+            jnp.stack([scaled_r, scaled_r, scaled_r * 0.1], axis=-1)
         )
     )
+
+
+def _world_hull_planes_at(inp: ClipInputs, frame_idx) -> jax.Array:
+    rot = inp.traj_rot[frame_idx]
+    pos = inp.traj_pos[frame_idx]
+    n_w = jnp.einsum("bij,bfj->bfi", rot, inp.hull_planes[..., :3])
+    d_w = inp.hull_planes[..., 3] * inp.traj_scale[:, None] + jnp.einsum(
+        "bfi,bi->bf", n_w, pos
+    )
+    return jnp.concatenate([n_w, d_w[..., None]], axis=-1)
+
+
+def render_edited_frame(
+    inp: ClipInputs, frame_idx, config: RasterConfig
+) -> jax.Array:
+    """One edited frame (jit-safe; frame_idx traced)."""
+    cam = index_camera(inp.cams, frame_idx)
+
+    # 1. background pass
+    bg_out = rasterize(inp.bg, cam, config=config)
+    bg_alpha = jnp.clip(bg_out.alpha, 0.0, 1.0)
+    scene_depth = bg_out.depth / jnp.maximum(bg_alpha, 1e-6)
+    scene_depth = jnp.where(bg_alpha > 0.01, scene_depth, 1e9)
+
+    # 2. objects: transform surfels by this frame's rigid poses
+    g_obj = shaded_object_gaussians(inp, frame_idx, cam)
     obj_out = rasterize(g_obj, cam, config=config)
     obj_alpha = obj_out.alpha
     obj_depth = obj_out.depth / jnp.maximum(obj_alpha, 1e-6)
     obj_depth = jnp.where(obj_alpha > 0.01, obj_depth, 1e9)
 
     # 3. shadow ratio against the objects' hulls at this frame's pose
-    n_w = jnp.einsum("bij,bfj->bfi", rot, inp.hull_planes[..., :3])
-    com = pos  # hull planes are about the body origin used in traj
-    d_w = inp.hull_planes[..., 3] * inp.traj_scale[:, None] + jnp.einsum(
-        "bfi,bi->bf", n_w, com
-    )
-    planes_w = jnp.concatenate([n_w, d_w[..., None]], axis=-1)
+    planes_w = _world_hull_planes_at(inp, frame_idx)
     ratio = RSH.shadow_ratio_map(
         cam,
         bg_out.depth,
@@ -204,15 +223,87 @@ def render_edited_frame(
     return frame
 
 
+def render_edited_frame_fused(
+    inp: ClipInputs,
+    frame_idx,
+    config: RasterConfig,
+    obj_dup_budget: int = 1 << 18,
+    shadow_scale: int = 2,
+) -> jax.Array:
+    """One edited frame through ONE merged rasterization (fast path).
+
+    Instead of separate full background/object passes + a binary
+    depth_check composite (blend_all.py:249-307), the shaded object
+    splats are spliced into the background's scene-rows layout and
+    blended in a single pass — per-splat depth ordering resolves
+    object↔scene occlusion exactly.  A small object-only pass (tiny
+    duplicate budget) recovers the per-pixel object weight so the
+    shadow ratio darkens only the background contribution:
+
+        frame = C · (1 − (1−ratio) · (1−w_obj) · α)
+
+    which matches the compositor's catcher-weighted darkening on pure
+    background pixels and leaves pure object pixels untouched; the
+    approximation only differs inside the ~1px silhouette band.
+
+    Requires ``inp.bg_rows`` (build_clip_inputs(pack_rows=True)) and the
+    Pallas bf16 backend.
+    """
+    from autovfx_tpu.ops import preprocess_pallas as PP
+    from autovfx_tpu.ops.rasterize import rasterize_rows
+
+    cam = index_camera(inp.cams, frame_idx)
+
+    g_obj = shaded_object_gaussians(inp, frame_idx, cam)
+    obj_rows = PP.pack_scene_rows(g_obj)
+    merged = PP.concat_rows(inp.bg_rows, obj_rows)
+    out = rasterize_rows(merged, cam, config=config)
+
+    obj_cfg = config.replace(dup_budget=obj_dup_budget)
+    obj_out = rasterize(g_obj, cam, config=obj_cfg)
+    obj_alpha = obj_out.alpha
+    obj_depth = obj_out.depth / jnp.maximum(obj_alpha, 1e-6)
+    obj_depth = jnp.where(obj_alpha > 0.01, obj_depth, 1e9)
+
+    alpha = jnp.clip(out.alpha, 0.0, 1.0)
+    scene_depth = out.depth / jnp.maximum(alpha, 1e-6)
+    scene_depth = jnp.where(alpha > 0.01, scene_depth, 1e9)
+    # the merged depth equals the object's where the object is in front
+    visible = obj_depth <= scene_depth * 1.001 + 1e-2
+    w_obj = jnp.where(visible, obj_alpha, 0.0)
+
+    planes_w = _world_hull_planes_at(inp, frame_idx)
+    ratio = RSH.shadow_ratio_map(
+        cam,
+        out.depth,
+        jnp.maximum(alpha, 1e-3),
+        inp.light_dirs,
+        inp.light_weights,
+        planes_w,
+        inp.hull_mask,
+        scale=shadow_scale,
+    )
+    ratio = jnp.clip(ratio, 0.0, 1.0)
+    # compositor parity: only apply where a real shadow exists
+    is_shadow = jnp.abs(ratio - 1.0) >= 0.01
+    mult = 1.0 - (1.0 - ratio) * (1.0 - w_obj) * alpha
+    mult = jnp.where(is_shadow, mult, 1.0)
+    return jnp.clip(out.color * mult[..., None], 0.0, 1.0)
+
+
 def render_clip(
-    inp: ClipInputs, num_frames: int, config: RasterConfig
+    inp: ClipInputs,
+    num_frames: int,
+    config: RasterConfig,
+    fused: bool = False,
 ) -> jax.Array:
     """(F, H, W, 3) edited frames, one jitted scan."""
+    frame_fn = render_edited_frame_fused if fused else render_edited_frame
 
     @jax.jit
     def run(inp):
         def frame(_, i):
-            return None, render_edited_frame(inp, i, config)
+            return None, frame_fn(inp, i, config)
 
         _, frames = jax.lax.scan(frame, None, jnp.arange(num_frames))
         return frames

@@ -71,39 +71,72 @@ def shadow_ratio_map(
     hull_planes: jax.Array,  # (B, F, 4) world-frame hull planes
     hull_mask: jax.Array,  # (B, F)
     bias: float = 1e-2,
+    scale: int = 1,
 ) -> jax.Array:
-    """(H, W) shadow ratio in [0, 1]: 1 = fully lit, <1 = shadowed."""
+    """(H, W) shadow ratio in [0, 1]: 1 = fully lit, <1 = shadowed.
+
+    ``scale`` > 1 evaluates the (low-frequency) ratio on a subsampled
+    pixel grid and bilinearly upsamples — a 1/scale² cost cut.
+
+    The per-(pixel, plane) slack ``d - n·p`` is hoisted out of the light
+    loop (it is light-independent); each light then costs one divide +
+    min/max reduction per plane instead of a fresh 3-dot projection.
+    """
+    full_hw = depth.shape
+    if scale > 1:
+        cam = cam.resized(scale)
+        hs, ws = cam.height, cam.width
+        depth = depth[:: scale, :: scale][:hs, :ws]
+        alpha = alpha[:: scale, :: scale][:hs, :ws]
+
     # backproject pixels to world surface points
     z = depth / jnp.maximum(alpha, 1e-6)  # expected depth given coverage
-    rays = cam.ray_directions()  # (H, W, 3), unit-z-depth scaled below
-    # rays are direction per unit view-z? ray_directions returns
-    # cam-frame (x/fx, y/fy, 1) rotated to world => scale by view z.
+    rays = cam.ray_directions()  # (H, W, 3) per-unit-view-z directions
     pts = cam.center[None, None, :] + rays * z[..., None]
     pts = pts + bias * _up_offset(rays)
 
-    def occluded_by_any(direction):
-        occ = jnp.zeros(pts.shape[:2], bool)
-        def body(i, occ):
-            hit = ray_hits_hull(
-                pts, direction, hull_planes[i], hull_mask[i]
+    nrm = hull_planes[..., :3]  # (B, F, 3)
+    dvec = hull_planes[..., 3]  # (B, F)
+    denom_l = jnp.einsum("ki,bfi->kbf", light_dirs, nrm)  # (K, B, F)
+    big = 1e30
+    n_lights = light_dirs.shape[0]
+
+    # occ[k, h, w]: pixel occluded toward light k by ANY hull.  Outer
+    # scan over hulls hoists the light-independent (pixel, plane) slack;
+    # inner scan over lights does one divide + reduction per plane.
+    def per_hull(occ, b):
+        dist = dvec[b] - jnp.einsum("hwi,fi->hwf", pts, nrm[b])
+
+        def per_light(occ, k):
+            denom = denom_l[k, b]  # (F,)
+            t_plane = dist / jnp.where(
+                jnp.abs(denom) > 1e-9, denom, 1e-9
             )
-            return occ | hit
-        return jax.lax.fori_loop(0, hull_planes.shape[0], body, occ)
+            upper = jnp.where(denom > 1e-9, t_plane, big)
+            lower = jnp.where(denom < -1e-9, t_plane, -big)
+            always_out = (jnp.abs(denom) <= 1e-9) & (dist < 0)
+            upper = jnp.where(always_out, -big, upper)
+            upper = jnp.where(hull_mask[b], upper, big)
+            lower = jnp.where(hull_mask[b], lower, -big)
+            t_exit = jnp.min(upper, axis=-1)
+            t_enter = jnp.max(lower, axis=-1)
+            hit = (t_exit > jnp.maximum(t_enter, 1e-4)) & (t_exit > 0)
+            return occ.at[k].set(occ[k] | hit), None
 
-    def per_light(carry, k):
-        lit_acc, wsum = carry
-        d = light_dirs[k]
-        w = light_weights[k]
-        occ = occluded_by_any(d)
-        lit_acc = lit_acc + w * (~occ).astype(jnp.float32)
-        return (lit_acc, wsum + w), None
+        occ, _ = jax.lax.scan(per_light, occ, jnp.arange(n_lights))
+        return occ, None
 
-    (lit, wsum), _ = jax.lax.scan(
-        per_light,
-        (jnp.zeros(pts.shape[:2], jnp.float32), jnp.float32(0.0)),
-        jnp.arange(light_dirs.shape[0]),
+    occ0 = jnp.zeros((n_lights,) + pts.shape[:2], bool)
+    occ, _ = jax.lax.scan(
+        per_hull, occ0, jnp.arange(hull_planes.shape[0])
     )
-    return lit / jnp.maximum(wsum, 1e-9)
+    lit = jnp.einsum(
+        "k,khw->hw", light_weights, 1.0 - occ.astype(jnp.float32)
+    )
+    ratio = lit / jnp.maximum(jnp.sum(light_weights), 1e-9)
+    if scale > 1:
+        ratio = jax.image.resize(ratio, full_hw, method="bilinear")
+    return ratio
 
 
 def _up_offset(rays):

@@ -148,17 +148,23 @@ def _main_edit(g, cams, cfg):
     rng = np.random.RandomState(0)
     env = (0.4 + 0.6 * rng.rand(32, 64, 3)).astype(np.float32)
 
+    fused = cfg.backend == "pallas" and cfg.feature_pack == "bf16"
+    if os.environ.get("BENCH_EDIT_FUSED") == "0":
+        fused = False
     inp = CL.build_clip_inputs(
         bg=g, cams=cams,
         objects=[{"scale": 1.0, "material": {"rgb": [0.8, 0.2, 0.2]}}],
         surfels=[surf], traj_pos=traj_pos, traj_rot=traj_rot,
-        hull_shape=hull, env=env, num_lights=16,
+        hull_shape=hull, env=env, num_lights=16, pack_rows=fused,
+    )
+    frame_fn = (
+        CL.render_edited_frame_fused if fused else CL.render_edited_frame
     )
 
     @jax.jit
     def run(inp):
         def frame(carry, i):
-            f = CL.render_edited_frame(inp, i, cfg)
+            f = frame_fn(inp, i, cfg)
             return carry + f.mean(), None
 
         acc, _ = jax.lax.scan(frame, 0.0, jnp.arange(FRAMES))
