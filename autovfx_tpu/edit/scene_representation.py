@@ -198,11 +198,14 @@ class SceneRepresentation:
 
     def _object_surfels(self, obj: Dict, num_samples: int = 60_000) -> dict:
         path = obj["object_path"]
-        if path not in self._surfel_cache:
+        mat = obj.get("material") or {}
+        mat_path = mat.get("material_path")
+        key = path if not mat_path else f"{path}|{mat_path}|{mat.get('rgb')}"
+        if key not in self._surfel_cache:
             mesh = self._load_mesh(path)
             if not obj.get("from_3DGS", False):
                 mesh = mesh.normalized_to_unit_box()
-            self._surfel_cache[path] = RMS.sample_mesh_surfels(
+            surf = RMS.sample_mesh_surfels(
                 mesh.vertices,
                 mesh.faces,
                 num_samples=num_samples,
@@ -210,7 +213,28 @@ class SceneRepresentation:
                 uv=mesh.uv,
                 texture=mesh.texture,
             )
-        return self._surfel_cache[path]
+            if mat_path:
+                # PolyHaven maps baked onto the surfels
+                # (all_rendering.py:1019-1062); an rgb alongside a
+                # texture is a hue-shift recolor (:1083-1134), not a
+                # multiply — handled here so render_object_pass's
+                # base_color multiply must be skipped for this object
+                from autovfx_tpu.render import materials as RMAT
+
+                try:
+                    material = RMAT.load_material_folder(mat_path)
+                except FileNotFoundError:
+                    material = None
+                if material is not None:
+                    surf = RMAT.apply_material_to_surfels(surf, material)
+                    if mat.get("rgb") is not None:
+                        surf = dict(surf)
+                        surf["colors"] = RMAT.hue_shift_colors(
+                            surf["colors"], mat["rgb"]
+                        )
+                    surf["material_baked"] = True
+            self._surfel_cache[key] = surf
+        return self._surfel_cache[key]
 
     def _object_vertices_for_physics(self, obj: Dict) -> np.ndarray:
         mesh = self._load_mesh(obj["object_path"])
@@ -624,6 +648,9 @@ class SceneRepresentation:
                 )
             mat = obj.get("material") or {}
             base = mat.get("rgb")
+            # texture-baked surfels already consumed rgb as a hue shift
+            if surf.get("material_baked"):
+                base = None
             gs.append(
                 RMS.shaded_object_gaussians(
                     surf,

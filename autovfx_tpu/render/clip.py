@@ -77,16 +77,30 @@ def build_clip_inputs(
 
     pts, nrm, col, rad, body, rough, metal = [], [], [], [], [], [], []
     for i, (obj, s) in enumerate(zip(objects, surfels)):
-        n = len(s["points"])
         mat = obj.get("material") or {}
         base = mat.get("rgb")
+        if mat.get("material_path"):
+            from autovfx_tpu.render import materials as RMAT
+
+            material = RMAT.load_material_folder(mat["material_path"])
+            s = RMAT.apply_material_to_surfels(s, material)
+            if base is not None:  # rgb + texture = hue-shift recolor
+                s = dict(s)
+                s["colors"] = RMAT.hue_shift_colors(s["colors"], base)
+            base = None
+        n = len(s["points"])
         c = s["colors"] if base is None else s["colors"] * np.asarray(base)
         pts.append(s["points"])
         nrm.append(s["normals"])
         col.append(c)
         rad.append(np.full(n, s["radius"], np.float32))
         body.append(np.full(n, i, np.int32))
-        rough.append(np.full(n, float(mat.get("roughness", 0.5)), np.float32))
+        if "roughness" in s:
+            rough.append(np.asarray(s["roughness"], np.float32))
+        else:
+            rough.append(
+                np.full(n, float(mat.get("roughness", 0.5)), np.float32)
+            )
         metal.append(
             np.full(
                 n,

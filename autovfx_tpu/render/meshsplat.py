@@ -162,6 +162,10 @@ def shaded_object_gaussians(
     facing = jnp.sum(nrm * view, axis=-1, keepdims=True)
     nrm_s = jnp.where(facing > 0, -nrm, nrm)
     albedo = cols if base_color is None else cols * base_color
+    # per-surfel roughness (material-map sampled, render/materials.py)
+    # overrides the scalar default
+    if "roughness" in surfels:
+        roughness = jnp.asarray(surfels["roughness"])[:, None]
     shaded = ibl.shade(
         nrm_s, view, env, env_sh, albedo, roughness=roughness,
         metallic=metallic,
