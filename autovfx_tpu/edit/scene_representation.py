@@ -515,9 +515,41 @@ class SceneRepresentation:
                 )
         return np.stack(colors), np.stack(depths), np.stack(alphas)
 
+    def _effect_progress(self, obj: Dict, frame_idx: int):
+        """(melt_p, burn_p) for this object at this frame, from flags +
+        event windows (shared by surfel and from_3DGS paths)."""
+        from autovfx_tpu.render import melt as RMELT
+
+        oid = obj["object_id"]
+        melt_p = burn_p = 0.0
+        for ev in self.events:
+            if ev["object_id"] != oid:
+                continue
+            prog = RMELT.effect_progress(
+                frame_idx, int(ev.get("start_frame") or 1),
+                ev.get("end_frame"), self.total_frames,
+            )
+            if ev["event_type"] == "melting":
+                melt_p = max(melt_p, prog)
+            elif ev["event_type"] == "incinerate":
+                burn_p = max(burn_p, prog)
+        if obj.get("melting") and melt_p == 0.0 and not any(
+            ev["object_id"] == oid and ev["event_type"] == "melting"
+            for ev in self.events
+        ):
+            melt_p = RMELT.effect_progress(
+                frame_idx, 1, None, self.total_frames
+            )
+        return melt_p, burn_p
+
     def _merge_object_gaussians(self, g: Gaussians, frame_idx: int):
         """Merge 3DGS-extracted objects transformed by the per-frame
-        rigid-body pose (scene_representation.py:357-371)."""
+        rigid-body pose (scene_representation.py:357-371); melting /
+        incinerate events deform the splats directly
+        (reference :372-421 matches Gaussians to per-frame melt meshes —
+        see render/melt.py:melt_gaussians for the TPU-native field)."""
+        from autovfx_tpu.render import melt as RMELT
+
         merged = g
         for obj in self.inserted_objects:
             if not obj.get("from_3DGS"):
@@ -543,6 +575,11 @@ class SceneRepresentation:
                     translation=jnp.asarray(tr["pos"], jnp.float32),
                     pivot=jnp.zeros(3),
                 )
+            melt_p, burn_p = self._effect_progress(obj, frame_idx)
+            if melt_p > 0.0:
+                og = RMELT.melt_gaussians(og, melt_p)
+            if burn_p > 0.0:
+                og = RMELT.incinerate_gaussians(og, burn_p)
             merged = merge(merged, og)
         return merged
 
@@ -584,27 +621,7 @@ class SceneRepresentation:
 
         obj_ids = [o["object_id"] for o, _ in self._draw_list(frame_idx)]
         for obj, surf in self._draw_list(frame_idx):
-            # melting / incinerate progress from flags + event windows
-            oid = obj["object_id"]
-            melt_p = burn_p = 0.0
-            for ev in self.events:
-                if ev["object_id"] != oid:
-                    continue
-                prog = RMELT.effect_progress(
-                    frame_idx, int(ev.get("start_frame") or 1),
-                    ev.get("end_frame"), self.total_frames,
-                )
-                if ev["event_type"] == "melting":
-                    melt_p = max(melt_p, prog)
-                elif ev["event_type"] == "incinerate":
-                    burn_p = max(burn_p, prog)
-            if obj.get("melting") and melt_p == 0.0 and not any(
-                ev["object_id"] == oid and ev["event_type"] == "melting"
-                for ev in self.events
-            ):
-                melt_p = RMELT.effect_progress(
-                    frame_idx, 1, None, self.total_frames
-                )
+            melt_p, burn_p = self._effect_progress(obj, frame_idx)
             if melt_p > 0.0 or burn_p > 0.0:
                 pts, nrm, rscale = RMELT.melt_surfels(
                     surf["points"], surf["normals"], melt_p

@@ -126,37 +126,56 @@ def extract_object_from_scene(
     ratio = votes / np.maximum(votes + seen, 1)
 
     # --- threshold sweep: pick selection minimizing alpha-vs-mask XOR -------
+    # Evaluated across MULTIPLE tracked views (extract_object.py:168-231
+    # sums the rendered-alpha-vs-mask XOR over the track), so one bad
+    # anchor mask cannot corrupt the selection.
     anchor = sr.hparams.anchor_frame_idx
-    cam0 = C.index_camera(sr.cameras, anchor)
-    mask0 = masks[min(anchor, len(masks) - 1)]
+    n_sweep = int(getattr(sr.hparams, "n_sweep_frames", 8))
+    cand = np.unique(
+        np.concatenate([
+            [min(anchor, len(masks) - 1)],
+            np.linspace(0, len(masks) - 1, n_sweep).astype(int),
+        ])
+    )
+    # keep only frames where the instance is actually visible
+    sweep_frames = [f for f in cand if masks[f].sum() > 0] or [
+        int(cand[0])
+    ]
     gaussian_tri = _closest_triangle(
         np.asarray(sr.gaussians.xyz), scene_mesh
     )
     cfg = RasterConfig(dup_budget=sr.hparams.dup_budget, backend="ref"
                        if jax.default_backend() != "tpu" else "pallas")
 
+    def _resize_to(mask, shape):
+        if mask.shape == shape:
+            return mask
+        from PIL import Image
+
+        return np.asarray(
+            Image.fromarray(mask.astype(np.uint8) * 255).resize(
+                (shape[1], shape[0])
+            )
+        ) > 127
+
+    render_alpha = jax.jit(
+        lambda act, cam: rasterize(
+            sr.gaussians.replace(active=act), cam, config=cfg
+        ).alpha
+    )
     best = (1e18, None)
     for thr in VOTE_THRESHOLDS:
         tri_sel = ratio >= thr
         if tri_sel.sum() == 0:
             continue
-        g_sel = tri_sel[gaussian_tri]
-        g_obj = sr.gaussians.replace(
-            active=jnp.asarray(g_sel) & sr.gaussians.active
-        )
-        out = rasterize(g_obj, cam0, config=cfg)
-        alpha = np.asarray(out.alpha) > 0.5
-        if alpha.shape != mask0.shape:
-            from PIL import Image
-
-            m0 = np.asarray(
-                Image.fromarray(mask0.astype(np.uint8) * 255).resize(
-                    (alpha.shape[1], alpha.shape[0])
-                )
-            ) > 127
-        else:
-            m0 = mask0
-        xor = np.logical_xor(alpha, m0).mean()
+        g_sel = jnp.asarray(tri_sel[gaussian_tri]) & sr.gaussians.active
+        xor_sum = 0.0
+        for f in sweep_frames:
+            camf = C.index_camera(sr.cameras, f)
+            alpha = np.asarray(render_alpha(g_sel, camf)) > 0.5
+            mf = _resize_to(masks[f], alpha.shape)
+            xor_sum += np.logical_xor(alpha, mf).mean()
+        xor = xor_sum / len(sweep_frames)
         if xor < best[0]:
             best = (xor, thr)
     thr = best[1] if best[1] is not None else 0.5

@@ -68,13 +68,99 @@ def load_instance_masks(tracking_dir: str, instance_id: int) -> np.ndarray:
     return np.stack(masks)
 
 
+def _mask_bbox(mask: np.ndarray):
+    ys, xs = np.where(mask)
+    if len(ys) == 0:
+        return None
+    return xs.min(), ys.min(), xs.max(), ys.max()
+
+
+def _bboxes_overlap(a, b) -> bool:
+    ax0, ay0, ax1, ay1 = a
+    bx0, by0, bx1, by1 = b
+    return not (ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0)
+
+
+def _instances_overlap(
+    dir_a: str, dir_b: str, overlap_ratio: float
+) -> bool:
+    """Bbox overlap on >= ``overlap_ratio`` of the co-visible frames
+    (tracking/demo_utils.py:29-78 semantics)."""
+    from PIL import Image
+
+    frames_a = {os.path.basename(f) for f in glob.glob(
+        os.path.join(dir_a, "*.png"))}
+    frames_b = {os.path.basename(f) for f in glob.glob(
+        os.path.join(dir_b, "*.png"))}
+    both = sorted(frames_a & frames_b)
+    if not both:
+        return False
+    hits = 0
+    for name in both:
+        ma = np.asarray(
+            Image.open(os.path.join(dir_a, name)).convert("L")) > 127
+        mb = np.asarray(
+            Image.open(os.path.join(dir_b, name)).convert("L")) > 127
+        ba, bb = _mask_bbox(ma), _mask_bbox(mb)
+        if ba is None or bb is None:
+            continue
+        if _bboxes_overlap(ba, bb):
+            hits += 1
+    return hits / len(both) >= overlap_ratio
+
+
 def merge_instances(tracking_dir: str, overlap_ratio: float = 0.7) -> List[int]:
     """Greedy instance merge by co-visible bbox overlap
-    (tracking/demo_utils.py:121-162).  Returns the surviving ids."""
-    ids = sorted(
-        int(x) for x in os.listdir(tracking_dir) if x.isdigit()
-    )
-    return ids  # merging optional when masks are precomputed
+    (tracking/demo_utils.py:121-162).
+
+    Two instances whose mask bounding boxes overlap in >= 70 % of their
+    co-visible frames are the same object split by the detector; their
+    masks are unioned into a new instance folder named ``id_a + id_b``
+    and the parents removed.  Returns the surviving ids.
+    """
+    import shutil
+
+    from PIL import Image
+
+    ids = sorted(int(x) for x in os.listdir(tracking_dir) if x.isdigit())
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                dir_a = os.path.join(tracking_dir, str(a))
+                dir_b = os.path.join(tracking_dir, str(b))
+                if not _instances_overlap(dir_a, dir_b, overlap_ratio):
+                    continue
+                new_id = a + b
+                dir_new = os.path.join(tracking_dir, str(new_id))
+                os.makedirs(dir_new, exist_ok=True)
+                names = {
+                    os.path.basename(f)
+                    for d in (dir_a, dir_b)
+                    for f in glob.glob(os.path.join(d, "*.png"))
+                }
+                for name in sorted(names):
+                    acc = None
+                    for d in (dir_a, dir_b):
+                        p = os.path.join(d, name)
+                        if not os.path.exists(p):
+                            continue
+                        m = np.asarray(
+                            Image.open(p).convert("L")) > 127
+                        acc = m if acc is None else (acc | m)
+                    Image.fromarray(
+                        (acc.astype(np.uint8)) * 255
+                    ).save(os.path.join(dir_new, name))
+                shutil.rmtree(dir_a)
+                shutil.rmtree(dir_b)
+                ids = [x for x in ids if x not in (a, b)] + [new_id]
+                changed = True
+                break
+            if changed:
+                break
+    return sorted(ids)
 
 
 def inpaint_img_with_lama(

@@ -51,6 +51,75 @@ def melt_surfels(
     return pts, n, radius_scale
 
 
+def melt_gaussians(g, progress: float, ground_z: float | None = None,
+                   spread: float = 1.6):
+    """Melt a 3DGS-extracted object by deforming its splats directly.
+
+    The reference exports per-frame melted meshes from the Mantaflow
+    LIQUID sim and re-associates the object's scene Gaussians to them
+    (reference scene_representation.py:372-421 match_gaussians_to_mesh);
+    here the same puddle deformation field as ``melt_surfels`` is
+    applied to the splat centers, and each splat's scales are updated by
+    the field's (diagonal) Jacobian rotated into the splat frame —
+    jit-friendly, no host round trip.
+    """
+    import jax.numpy as jnp
+
+    from autovfx_tpu.core.quaternion import quat_to_rotmat
+
+    p = float(np.clip(progress, 0.0, 1.0))
+    if p == 0.0:
+        return g
+    xyz = g.xyz
+    if ground_z is None:
+        ground_z = float(jnp.min(xyz[:, 2]))
+    h = xyz[:, 2] - ground_z
+    h_max = jnp.maximum(jnp.max(h), 1e-6)
+    squash = jnp.clip(1.0 - p * (0.85 + 0.1 * (h / h_max)), 0.05, 1.0)
+    z_new = ground_z + h * squash
+    center_xy = jnp.mean(xyz[:, :2], axis=0)
+    sxy = 1.0 + (spread - 1.0) * p
+    xy_new = center_xy + (xyz[:, :2] - center_xy) * sxy
+    xyz_new = jnp.concatenate([xy_new, z_new[:, None]], axis=-1)
+
+    # world-diagonal Jacobian diag(sxy, sxy, sz) → per-splat local-axis
+    # factors f_j = sqrt(Σ_k J_kk² R_kj²) (diagonal of RᵀJ²R)
+    R = quat_to_rotmat(g.rotations)  # (N, 3, 3) columns = local axes
+    j2 = jnp.stack(
+        [jnp.full_like(squash, sxy**2),
+         jnp.full_like(squash, sxy**2), squash**2], axis=-1
+    )  # (N, 3)
+    f = jnp.sqrt(
+        jnp.maximum(jnp.einsum("nk,nkj->nj", j2, R**2), 1e-12)
+    )
+    return g.replace(
+        xyz=xyz_new,
+        log_scales=g.log_scales + jnp.log(f),
+    )
+
+
+def incinerate_gaussians(g, progress: float):
+    """Burn-to-black + ash fade on a splat object (DC-band darkening +
+    opacity ramp, matching ``incinerate_colors`` semantics)."""
+    import jax.numpy as jnp
+
+    from autovfx_tpu.core.sh import C0, rgb_to_sh
+
+    p = float(np.clip(progress, 0.0, 1.0))
+    if p == 0.0:
+        return g
+    char = jnp.array([0.05, 0.04, 0.035], jnp.float32)
+    rgb = g.sh_dc * C0 + 0.5  # DC-band color
+    burned = (1 - 0.9 * p) * rgb + 0.9 * p * char[None]
+    op_scale = 1.0 if p < 0.7 else max(1.0 - (p - 0.7) / 0.3, 1e-4)
+    # fade via logit shift: sigmoid(x + log s) ≈ s·sigmoid(x) for small s
+    return g.replace(
+        sh_dc=rgb_to_sh(burned),
+        sh_rest=g.sh_rest * (1.0 - 0.9 * p),
+        opacity_logit=g.opacity_logit + float(np.log(op_scale)),
+    )
+
+
 def incinerate_colors(
     colors: np.ndarray, progress: float
 ) -> tuple[np.ndarray, float]:

@@ -480,3 +480,100 @@ class TestMeltIncinerate:
         assert effect_progress(4, 5, None, 10) == 0.0
         assert effect_progress(10, 5, 11, 10) == 1.0
         assert 0.4 < effect_progress(7, 5, 11, 10) < 0.7
+
+
+class TestMeltGaussians:
+    def _obj_gaussians(self, n=300):
+        from autovfx_tpu.utils.synthetic import make_gaussians
+
+        g = make_gaussians(n, jax.random.PRNGKey(5), spread=0.3)
+        return g.replace(
+            xyz=g.xyz + jnp.array([0.0, 0.0, 1.0])  # sits above z=0.7
+        )
+
+    def test_melt_collapses_height_and_spreads(self):
+        from autovfx_tpu.render.melt import melt_gaussians
+
+        g = self._obj_gaussians()
+        melted = melt_gaussians(g, 1.0)
+        z0 = np.asarray(g.xyz[:, 2])
+        z1 = np.asarray(melted.xyz[:, 2])
+        assert z1.max() - z1.min() < 0.4 * (z0.max() - z0.min())
+        r0 = np.linalg.norm(
+            np.asarray(g.xyz[:, :2]) - np.asarray(g.xyz[:, :2]).mean(0),
+            axis=1,
+        )
+        r1 = np.linalg.norm(
+            np.asarray(melted.xyz[:, :2])
+            - np.asarray(melted.xyz[:, :2]).mean(0),
+            axis=1,
+        )
+        assert r1.mean() > 1.3 * r0.mean()
+        assert np.isfinite(np.asarray(melted.log_scales)).all()
+        # zero progress = identity
+        same = melt_gaussians(g, 0.0)
+        np.testing.assert_array_equal(np.asarray(same.xyz), np.asarray(g.xyz))
+
+    def test_incinerate_darkens_and_fades(self):
+        from autovfx_tpu.render.melt import incinerate_gaussians
+
+        g = self._obj_gaussians()
+        burned = incinerate_gaussians(g, 1.0)
+        from autovfx_tpu.core.sh import C0
+
+        rgb0 = np.asarray(g.sh_dc) * C0 + 0.5
+        rgb1 = np.asarray(burned.sh_dc) * C0 + 0.5
+        assert rgb1.mean() < rgb0.mean()
+        assert rgb1.max() < 0.2  # charred
+        assert (
+            np.asarray(burned.opacity).mean()
+            < np.asarray(g.opacity).mean()
+        )
+
+    def test_from_3dgs_melt_integration(self, tmp_path):
+        """_merge_object_gaussians applies the melt field to a
+        from_3DGS object under a melting event."""
+        from autovfx_tpu.core import ply_io
+        from autovfx_tpu.edit.scene_representation import (
+            SceneRepresentation,
+        )
+        from autovfx_tpu.utils.synthetic import make_gaussians
+
+        og = self._obj_gaussians(100)
+        gp = str(tmp_path / "obj.ply")
+        ply_io.save_ply(gp, og)
+        bg = make_gaussians(50, jax.random.PRNGKey(0))
+
+        class Dummy:
+            inserted_objects = [
+                {
+                    "object_id": "o1",
+                    "object_name": "box",
+                    "from_3DGS": True,
+                    "gaussians_path": gp,
+                }
+            ]
+            events = [
+                {
+                    "object_id": "o1",
+                    "event_type": "melting",
+                    "start_frame": 1,
+                    "end_frame": 10,
+                }
+            ]
+            total_frames = 10
+            rb_transform = {}
+            _effect_progress = SceneRepresentation._effect_progress
+            _merge_object_gaussians = (
+                SceneRepresentation._merge_object_gaussians
+            )
+
+        d = Dummy()
+        merged_start = d._merge_object_gaussians(bg, 0)
+        merged_end = d._merge_object_gaussians(bg, 9)
+        nb = bg.capacity
+        z_start = np.asarray(merged_start.xyz[nb:, 2])
+        z_end = np.asarray(merged_end.xyz[nb:, 2])
+        assert (z_end.max() - z_end.min()) < 0.5 * (
+            z_start.max() - z_start.min()
+        )

@@ -1,0 +1,68 @@
+"""Perception wrapper tests: instance merging by co-visible bbox overlap."""
+import os
+
+import numpy as np
+import pytest
+
+from autovfx_tpu.perception.wrappers import merge_instances
+
+
+def _write_masks(root, instance_id, boxes):
+    """boxes: {frame_idx: (x0, y0, x1, y1) or None}."""
+    from PIL import Image
+
+    d = os.path.join(root, str(instance_id))
+    os.makedirs(d, exist_ok=True)
+    for f, box in boxes.items():
+        m = np.zeros((64, 64), np.uint8)
+        if box is not None:
+            x0, y0, x1, y1 = box
+            m[y0:y1, x0:x1] = 255
+        Image.fromarray(m).save(os.path.join(d, f"{f:05}.png"))
+
+
+class TestMergeInstances:
+    def test_overlapping_instances_merge(self, tmp_path):
+        """Two halves of one object (bboxes overlap in every co-visible
+        frame) merge into id 1+2=3 with unioned masks."""
+        root = str(tmp_path)
+        _write_masks(root, 1, {i: (10, 10, 30, 30) for i in range(5)})
+        _write_masks(root, 2, {i: (20, 20, 40, 40) for i in range(5)})
+        ids = merge_instances(root)
+        assert ids == [3]
+        from PIL import Image
+
+        merged = np.asarray(
+            Image.open(os.path.join(root, "3", "00000.png"))
+        ) > 127
+        assert merged[15, 15] and merged[35, 35]  # union of both boxes
+        assert not os.path.isdir(os.path.join(root, "1"))
+        assert not os.path.isdir(os.path.join(root, "2"))
+
+    def test_disjoint_instances_survive(self, tmp_path):
+        root = str(tmp_path)
+        _write_masks(root, 1, {i: (2, 2, 12, 12) for i in range(4)})
+        _write_masks(root, 2, {i: (40, 40, 60, 60) for i in range(4)})
+        assert merge_instances(root) == [1, 2]
+        assert os.path.isdir(os.path.join(root, "1"))
+
+    def test_partial_overlap_below_threshold(self, tmp_path):
+        """Overlap in only 1 of 4 co-visible frames (< 70 %): no merge."""
+        root = str(tmp_path)
+        _write_masks(
+            root, 1,
+            {0: (10, 10, 30, 30), 1: (2, 2, 8, 8), 2: (2, 2, 8, 8),
+             3: (2, 2, 8, 8)},
+        )
+        _write_masks(root, 2, {i: (20, 20, 40, 40) for i in range(4)})
+        assert merge_instances(root) == [1, 2]
+
+    def test_chain_merge(self, tmp_path):
+        """A overlaps B, (A+B) overlaps C — all collapse to one id."""
+        root = str(tmp_path)
+        _write_masks(root, 1, {i: (10, 10, 26, 26) for i in range(3)})
+        _write_masks(root, 2, {i: (20, 20, 36, 36) for i in range(3)})
+        _write_masks(root, 4, {i: (30, 30, 46, 46) for i in range(3)})
+        ids = merge_instances(root)
+        assert len(ids) == 1
+        assert ids[0] == 7  # 1+2=3, 3+4=7
