@@ -32,18 +32,18 @@ def eval_split(n_frames: int, every_nth: int = EVAL_EVERY_NTH) -> List[int]:
 
 
 def lpips_available() -> bool:
-    return bool(os.environ.get("AUTOVFX_LPIPS_WEIGHTS"))
+    return True  # native JAX LPIPS (utils/lpips_jax.py), always on
 
 
 def lpips(img1: np.ndarray, img2: np.ndarray) -> Optional[float]:
-    """LPIPS(vgg) when weights are provided; None otherwise."""
-    path = os.environ.get("AUTOVFX_LPIPS_WEIGHTS")
-    if not path or not os.path.exists(path):
-        return None
-    raise NotImplementedError(
-        "LPIPS weight loading: supply a torch VGG-LPIPS state dict and "
-        "extend utils/metrics.lpips (no pretrained weights ship with "
-        "this environment)."
+    """LPIPS(vgg) via the native JAX implementation
+    (utils/lpips_jax.py).  Canonical VGG weights load from
+    ``AUTOVFX_LPIPS_WEIGHTS`` (.npz); without them a deterministic
+    random-feature metric is used (marked by params.source)."""
+    from autovfx_tpu.utils.lpips_jax import lpips_distance
+
+    return float(
+        lpips_distance(jnp.asarray(img1), jnp.asarray(img2))
     )
 
 
