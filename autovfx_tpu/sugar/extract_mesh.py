@@ -112,12 +112,24 @@ def extract_mesh_from_gaussians(
     bg_resolution: int = 96,
     target_vertices: int = 1_000_000,
     bbox_expand: float = 1.05,
+    method: str = "poisson",
+    density_prune_quantile: float = 0.1,
 ) -> mesh_io.Mesh:
     """Full coarse-mesh extraction (extract_mesh.py driver parity).
 
     fg/bg split by the camera-extent bbox (coarse_mesh.py:345-380):
     the foreground box spans the camera centers (expanded), meshed at
     high resolution; the background at low resolution; merged.
+
+    ``method`` for the foreground surface:
+      - "poisson": screened-Poisson indicator solve on the level-set
+        cloud (sugar/poisson.py — the reference's own algorithm,
+        spectral/TPU-native; best fidelity),
+      - "tsdf": truncated SDF fusion of level-set depth maps
+        (sugar/sdf_fusion.py),
+      - "density_grid": direct SuGaR density isosurface.
+    Decimation is quadric edge-collapse (sugar/decimate.py;
+    coarse_mesh.py:441-458 o3d analog) + the density-quantile prune.
     """
     centers = np.asarray(cams.center)
     c_min, c_max = centers.min(0), centers.max(0)
@@ -126,11 +138,26 @@ def extract_mesh_from_gaussians(
     fg_min = mid - bbox_expand * c_ext
     fg_max = mid + bbox_expand * c_ext
 
-    xyz = np.asarray(g.xyz)[np.asarray(g.active)]
-    v_fg, f_fg = density_grid_mesh(
-        g, fg_min, fg_max, resolution=fg_resolution, level=level
-    )
-    # background: everything within 3x the fg box
+    if method == "poisson":
+        from autovfx_tpu.sugar.poisson import poisson_mesh_from_gaussians
+
+        v_fg, f_fg = poisson_mesh_from_gaussians(
+            g, cams, config=config, resolution=fg_resolution,
+            level=level,
+        )
+    elif method == "tsdf":
+        from autovfx_tpu.sugar.sdf_fusion import tsdf_mesh
+
+        v_fg, f_fg = tsdf_mesh(
+            g, cams, fg_min, fg_max, config=config,
+            resolution=fg_resolution,
+        )
+    else:
+        v_fg, f_fg = density_grid_mesh(
+            g, fg_min, fg_max, resolution=fg_resolution, level=level
+        )
+    # background: everything within 3x the fg box (density field — the
+    # cameras rarely observe it well enough for depth fusion)
     bg_min = mid - 3 * bbox_expand * c_ext
     bg_max = mid + 3 * bbox_expand * c_ext
     v_bg, f_bg = density_grid_mesh(
@@ -148,7 +175,25 @@ def extract_mesh_from_gaussians(
     faces = (
         np.concatenate([f_fg, f_bg + len(v_fg)]) if len(f_bg) else f_fg
     )
-    verts, faces = decimate_vertex_clustering(verts, faces, target_vertices)
+    from autovfx_tpu.sugar.decimate import (
+        decimate_quadric,
+        density_quantile_prune,
+    )
+
+    verts, faces = decimate_quadric(verts, faces, target_vertices)
+    if density_prune_quantile and len(verts):
+        # support density = inverse distance to the nearest splat (the
+        # Poisson-density prune analog: drop verts far from evidence)
+        from autovfx_tpu.sugar.levelset import _nearest_gaussian
+
+        nearest, _ = _nearest_gaussian(jnp.asarray(verts), g)
+        d2 = np.sum(
+            (verts - np.asarray(g.xyz)[np.asarray(nearest)]) ** 2, axis=1
+        )
+        dens = 1.0 / (1.0 + d2)
+        verts, faces = density_quantile_prune(
+            verts, faces, dens, density_prune_quantile
+        )
 
     # vertex colors from the gaussian field (nearest gaussian's color)
     from autovfx_tpu.sugar.levelset import _nearest_gaussian

@@ -397,3 +397,155 @@ class TestRefineTrain:
         assert sq[7, 0, 2] > 0.7 and sq[7, 0, 0] < 0.3
         # center is a mix, not equal to any corner
         assert 0.2 < sq[3, 3].max() < 0.7
+
+
+class TestTSDFFusion:
+    def _sphere_setup(self, n=800):
+        g = sphere_shell_gaussians(n=n)
+        cams = C.stack_cameras(
+            [
+                C.look_at_camera(
+                    [3 * np.cos(a), 3 * np.sin(a), 1.2 * np.sin(2 * a)],
+                    [0, 0, 0], [0, 0, 1],
+                    fx=60.0, fy=60.0, width=64, height=48,
+                )
+                for a in np.linspace(0, 2 * np.pi, 12, endpoint=False)
+            ]
+        )
+        return g, cams
+
+    def test_tsdf_mesh_sane(self):
+        """TSDF fusion produces a clean near-spherical surface."""
+        from autovfx_tpu.sugar.sdf_fusion import tsdf_mesh
+
+        g, cams = self._sphere_setup()
+        bb = ([-1.4, -1.4, -1.4], [1.4, 1.4, 1.4])
+        v_t, f_t = tsdf_mesh(
+            g, cams, *bb, config=CFG, resolution=64, every_nth=1
+        )
+        assert len(v_t) > 200 and len(f_t) > 200
+        r_t = np.linalg.norm(v_t, axis=1)
+        assert abs(np.median(r_t) - 1.1) < 0.25  # near the shell
+        # interior stays solid, far exterior stays empty
+        assert np.mean(r_t < 0.7) < 0.02
+        assert np.mean(r_t > 1.8) < 0.05
+
+    def test_poisson_beats_density_grid(self):
+        """VERDICT gate: the screened-Poisson mesh's RMS-to-levelset
+        beats the round-1 marching-tets density mesh."""
+        from scipy.spatial import cKDTree
+
+        from autovfx_tpu.sugar.extract_mesh import (
+            density_grid_mesh,
+            extract_level_points,
+            remove_outliers,
+        )
+        from autovfx_tpu.sugar.poisson import poisson_mesh_from_gaussians
+
+        g, cams = self._sphere_setup()
+        v_p, f_p = poisson_mesh_from_gaussians(
+            g, cams, config=CFG, resolution=96, every_nth=1
+        )
+        v_d, _ = density_grid_mesh(
+            g, [-1.4] * 3, [1.4] * 3, resolution=64, level=0.3
+        )
+        assert len(v_p) > 200 and len(f_p) > 200
+        pts, nrm = extract_level_points(g, cams, config=CFG, every_nth=1)
+        pts, _ = remove_outliers(pts, nrm)
+        tree = cKDTree(pts)
+
+        def rms_to_levelset(v):
+            d, _ = tree.query(np.asarray(v), k=1)
+            return float(np.sqrt(np.mean(d**2)))
+
+        rms_p = rms_to_levelset(v_p)
+        rms_d = rms_to_levelset(v_d)
+        assert rms_p < 0.7 * rms_d, (rms_p, rms_d)
+        # one connected surface (no spurious blobs)
+        parent = np.arange(len(v_p))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b, c in f_p:
+            parent[find(b)] = find(a)
+            parent[find(c)] = find(a)
+        comps = {find(i) for i in np.unique(f_p.reshape(-1))}
+        assert len(comps) <= 3
+
+    def test_tsdf_watertight_interior(self):
+        """φ is negative inside the sphere, positive near the cameras."""
+        from autovfx_tpu.sugar.sdf_fusion import (
+            render_depth_maps, tsdf_fuse,
+        )
+
+        g, cams = self._sphere_setup()
+        sub, depths, valids = render_depth_maps(
+            g, cams, config=CFG, every_nth=1
+        )
+        phi = tsdf_fuse(
+            sub, depths, valids, [-1.4] * 3, [1.4] * 3, resolution=48
+        )
+        c = phi.shape[0] // 2
+        assert phi[c, c, c] < 0  # center = inside
+        # observed free space outside the shell (on the camera plane)
+        assert phi[2, c, c] > 0
+        # unobserved corners default to the weak solid prior (no
+        # surface is meshed there — tsdf_mesh prunes no-evidence cells)
+        assert -0.5 < phi[0, 0, c] <= 0
+
+
+class TestQuadricDecimation:
+    def _sphere_mesh(self):
+        from autovfx_tpu.sugar.extract_mesh import density_grid_mesh
+
+        g = sphere_shell_gaussians(n=800)
+        return density_grid_mesh(
+            g, [-1.4] * 3, [1.4] * 3, resolution=48, level=0.3
+        )
+
+    def test_reaches_target_and_preserves_shape(self):
+        from autovfx_tpu.sugar.decimate import decimate_quadric
+
+        v, f = self._sphere_mesh()
+        target = len(v) // 4
+        v2, f2 = decimate_quadric(v, f, target)
+        assert len(v2) <= target * 1.02
+        assert len(f2) > 0
+        r = np.linalg.norm(v2, axis=1)
+        assert abs(np.median(r) - np.median(np.linalg.norm(v, axis=1))) < 0.1
+        # all faces reference valid vertices
+        assert f2.max() < len(v2) and f2.min() >= 0
+
+    def test_beats_vertex_clustering(self):
+        """QEM keeps a tighter surface than vertex clustering at the
+        same vertex budget (the round-1 weakness being replaced)."""
+        from autovfx_tpu.sugar.decimate import decimate_quadric
+
+        v, f = self._sphere_mesh()
+        target = len(v) // 8
+        v_q, _ = decimate_quadric(v, f, target)
+        v_c, _ = decimate_vertex_clustering(v, f, target)
+        med = np.median(np.linalg.norm(v, axis=1))
+        err_q = np.sqrt(
+            np.mean((np.linalg.norm(v_q, axis=1) - med) ** 2)
+        )
+        err_c = np.sqrt(
+            np.mean((np.linalg.norm(v_c, axis=1) - med) ** 2)
+        )
+        assert err_q <= err_c * 1.1, (err_q, err_c)
+
+    def test_density_prune(self):
+        from autovfx_tpu.sugar.decimate import density_quantile_prune
+
+        v = np.random.RandomState(0).randn(100, 3).astype(np.float32)
+        f = np.stack(
+            [np.arange(0, 98), np.arange(1, 99), np.arange(2, 100)], -1
+        )
+        dens = np.linspace(0, 1, 100)
+        v2, f2 = density_quantile_prune(v, f, dens, quantile=0.2)
+        assert len(v2) == 80
+        assert f2.max() < len(v2)
