@@ -202,9 +202,25 @@ class SceneRepresentation:
         mat_path = mat.get("material_path")
         key = path if not mat_path else f"{path}|{mat_path}|{mat.get('rgb')}"
         if key not in self._surfel_cache:
-            mesh = self._load_mesh(path)
+            anim = None
+            if path.lower().endswith(".glb"):
+                # animated asset playback (all_rendering.py:672-698):
+                # sample surfels on the clip's own rest mesh so the
+                # (tri, bary) associations match the deformed vertices
+                from autovfx_tpu.edit import gltf_anim as GA
+
+                anim = GA.load_animated_glb(path)
+            if anim is not None:
+                mesh = anim.rest_mesh()
+            else:
+                mesh = self._load_mesh(path)
             if not obj.get("from_3DGS", False):
+                lo, hi = mesh.bounds
+                norm_scale = 1.0 / max(float((hi - lo).max()), 1e-9)
+                norm_center = (lo + hi) / 2
                 mesh = mesh.normalized_to_unit_box()
+            else:
+                norm_scale, norm_center = 1.0, np.zeros(3)
             surf = RMS.sample_mesh_surfels(
                 mesh.vertices,
                 mesh.faces,
@@ -233,8 +249,27 @@ class SceneRepresentation:
                             surf["colors"], mat["rgb"]
                         )
                     surf["material_baked"] = True
+            if anim is not None:
+                surf["anim"] = anim
+                surf["anim_norm"] = (
+                    float(norm_scale),
+                    np.asarray(norm_center, np.float32),
+                )
             self._surfel_cache[key] = surf
         return self._surfel_cache[key]
+
+    def _animate_surfels(self, surf: dict, frame_idx: int) -> dict:
+        """Replay the asset's own clip at this frame (cyclic repeat)."""
+        anim = surf.get("anim")
+        if anim is None:
+            return surf
+        from autovfx_tpu.edit import gltf_anim as GA
+
+        t = frame_idx / float(self.fps)
+        verts = anim.vertices_at(t)
+        s, c = surf["anim_norm"]
+        verts = (verts - c[None]) * s
+        return GA.surfels_on_deformed(surf, verts, anim.faces)
 
     def _object_vertices_for_physics(self, obj: Dict) -> np.ndarray:
         mesh = self._load_mesh(obj["object_path"])
@@ -621,6 +656,7 @@ class SceneRepresentation:
 
         obj_ids = [o["object_id"] for o, _ in self._draw_list(frame_idx)]
         for obj, surf in self._draw_list(frame_idx):
+            surf = self._animate_surfels(surf, frame_idx)
             melt_p, burn_p = self._effect_progress(obj, frame_idx)
             if melt_p > 0.0 or burn_p > 0.0:
                 pts, nrm, rscale = RMELT.melt_surfels(

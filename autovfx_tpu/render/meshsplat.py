@@ -76,6 +76,10 @@ def sample_mesh_surfels(
         "normals": normals.astype(np.float32),
         "colors": cols.astype(np.float32),
         "radius": np.float32(radius),
+        # (triangle, barycentric) associations — animated-mesh playback
+        # repositions surfels on deformed vertices (edit/gltf_anim.py)
+        "tri": tri.astype(np.int64),
+        "bary": np.concatenate([w0, w1, w2], axis=1).astype(np.float32),
     }
 
 
