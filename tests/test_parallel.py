@@ -101,3 +101,82 @@ class TestDPTraining:
         np.testing.assert_allclose(
             float(aux.loss), np.mean(losses), rtol=1e-4, atol=1e-6
         )
+
+
+class TestCompactSharding:
+    def test_compact_capacity_and_exactness(self):
+        from autovfx_tpu.parallel.sharding import (
+            shard_gaussians_compact, sharded_render_compact,
+        )
+
+        g, cam = make_scene(n=256, width=32, height=24, key=1)
+        mesh = make_mesh((1, 8))
+        g8, overflow = shard_gaussians_compact(g, cam, 8, slack=0.5)
+        # real memory shard: per-slab capacity ~ N/D(1+slack), not N
+        cap = g8.xyz.shape[1]
+        assert cap <= (256 * 3) // 2 // 8 + 1
+        assert cap < 256
+        assert not bool(overflow)
+        # every active splat appears exactly once across slabs
+        total_active = int(np.asarray(g8.active).sum())
+        assert total_active == int(np.asarray(g.active).sum())
+
+        bg = jnp.array([0.3, 0.2, 0.1])
+        color, depth, alpha = sharded_render_compact(
+            g8, cam, mesh, config=CFG_R, bg=bg
+        )
+        ref = rasterize(g, cam, bg=bg, config=CFG_R)
+        np.testing.assert_allclose(
+            np.asarray(color), np.asarray(ref.color), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(alpha), np.asarray(ref.alpha), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(depth), np.asarray(ref.depth), atol=5e-3
+        )
+
+    def test_overflow_flag(self):
+        from autovfx_tpu.parallel.sharding import shard_gaussians_compact
+
+        g, cam = make_scene(n=128, width=32, height=24, key=2)
+        # all splats at the same depth → one quantile overflows tiny cap
+        g = g.replace(xyz=jnp.zeros_like(g.xyz))
+        _, overflow = shard_gaussians_compact(g, cam, 8, slack=0.0)
+        assert bool(overflow)
+
+
+class TestDPTrainLoop:
+    def test_dp_train_densifies_and_checkpoints(self, tmp_path):
+        from autovfx_tpu.parallel.sharding import dp_train
+
+        g, _ = make_scene(n=96, width=32, height=24, key=3)
+        g = g.pad_to(160)
+        cams = ring_cams(8)
+        imgs = jnp.stack(
+            [
+                rasterize(g, C.index_camera(cams, i), config=CFG_R).color
+                for i in range(8)
+            ]
+        )
+        mesh = make_mesh((8, 1))
+        cfg = T.TrainConfig(
+            iterations=12,
+            raster=CFG_R,
+            densify_from_iter=2,
+            densify_until_iter=12,
+            densification_interval=5,
+            opacity_reset_interval=10**9,
+            spatial_lr_scale=2.0,
+        )
+        ckpt = str(tmp_path / "dp.npz")
+        state, hist = dp_train(
+            g, cams, imgs, cfg, mesh, log_every=6,
+            checkpoint_path=ckpt, checkpoint_every=6,
+        )
+        assert np.isfinite(hist[-1]["loss"])
+        assert (tmp_path / "dp.npz").exists()
+        from autovfx_tpu.train.checkpoint import load_checkpoint
+
+        st2 = load_checkpoint(ckpt)
+        assert st2.gaussians.capacity == state.gaussians.capacity
