@@ -34,8 +34,10 @@ class SugarConfig:
     )  # 'density' | 'sdf'
     regularize_from: int = flax.struct.field(pytree_node=False, default=9000)
     entropy_until: int = flax.struct.field(pytree_node=False, default=9000)
+    # 1M samples/iter matches the reference (coarse_density.py:166);
+    # tests pass smaller budgets explicitly
     n_sdf_samples: int = flax.struct.field(
-        pytree_node=False, default=200_000
+        pytree_node=False, default=1_000_000
     )
     neighbor_reset_interval: int = flax.struct.field(
         pytree_node=False, default=500

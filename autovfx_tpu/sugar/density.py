@@ -71,11 +71,32 @@ def compute_density(
 
 
 def compute_beta(
-    points: jax.Array, point_neighbors: jax.Array, g: Gaussians
+    points: jax.Array,
+    point_neighbors: jax.Array,
+    g: Gaussians,
+    mode: str = "average",
+    log_beta: jax.Array | None = None,
+    opacity_min_clamp: float = 1e-16,
 ) -> jax.Array:
-    """β(x) = mean min-scale of the k nearest gaussians (get_beta,
-    'average' mode)."""
+    """β(x) per query point (get_beta, sugar_model.py:1043-1117).
+
+    modes: 'average' = mean min-scale of the k nearest gaussians;
+    'weighted_average' = opacity-weighted mean of neighbor min-scales;
+    'learnable' = a single trained scalar exp(log_beta) for all points.
+    """
+    if mode == "learnable":
+        if log_beta is None:
+            raise ValueError("learnable beta mode needs log_beta")
+        return jnp.broadcast_to(jnp.exp(log_beta), points.shape[:1])
     min_scale = jnp.min(g.scales, axis=-1)
+    if mode == "weighted_average":
+        op = g.opacity[point_neighbors]
+        w = op / jnp.maximum(
+            jnp.sum(op, axis=-1, keepdims=True), opacity_min_clamp
+        )
+        return jnp.maximum(
+            jnp.sum(w * min_scale[point_neighbors], axis=-1), 1e-8
+        )
     return jnp.mean(min_scale[point_neighbors], axis=-1)
 
 

@@ -157,6 +157,57 @@ def realize(bg: BoundGaussians) -> Gaussians:
     )
 
 
+def splat_mesh(
+    bg: BoundGaussians, cam, mode: str = "perspective"
+) -> "Mesh":
+    """Project each face's vertices to its centroid's viewing depth
+    (sugar_model.py:567-601): triangles become screen-space "splats"
+    whose rasterized footprint matches the bound Gaussians' — used to
+    render the refined textured mesh without a surface rasterizer.
+
+    mode 'depth' snaps vertex view-z to the centroid z; 'perspective'
+    rescales vertices along their view rays so their projection onto
+    the centroid direction matches the centroid's.
+    """
+    from autovfx_tpu.utils.linalg import transform_points
+
+    v = bg.vertices
+    f = bg.faces
+    tri = v[f]  # (F, 3, 3)
+    centers = jnp.mean(tri, axis=1, keepdims=True)  # (F, 1, 3)
+    tri_cam = transform_points(tri.reshape(-1, 3), cam.R, cam.t).reshape(
+        tri.shape
+    )
+    ctr_cam = transform_points(
+        centers.reshape(-1, 3), cam.R, cam.t
+    ).reshape(centers.shape)
+    if mode == "depth":
+        new_cam = tri_cam.at[..., 2].set(ctr_cam[..., 2])
+    else:
+        proj_dir = ctr_cam / jnp.maximum(
+            jnp.linalg.norm(ctr_cam, axis=-1, keepdims=True), 1e-12
+        )
+        verts_proj = jnp.sum(tri_cam * proj_dir, axis=-1, keepdims=True)
+        ctr_proj = jnp.sum(ctr_cam * proj_dir, axis=-1, keepdims=True)
+        new_cam = (
+            ctr_proj / jnp.where(jnp.abs(verts_proj) > 1e-9, verts_proj,
+                                 1e-9)
+        ) * tri_cam
+    # back to world: p_w = Rᵀ (p_c - t)
+    flat = new_cam.reshape(-1, 3) - cam.t[None]
+    world = jnp.einsum("ji,nj->ni", cam.R, flat)
+    faces = np.arange(f.shape[0] * 3, dtype=np.int64).reshape(-1, 3)
+    vc = np.asarray(
+        jnp.einsum("bk,fkj->fbj", bg.bary[:1], bg.vertex_colors[f])
+    ).reshape(-1, 3)
+    vc = np.repeat(vc, 3, axis=0)
+    return Mesh(
+        vertices=np.asarray(world, np.float32),
+        faces=faces,
+        vertex_colors=np.clip(vc, 0.0, 1.0).astype(np.float32),
+    )
+
+
 def bake_texture(
     bg: BoundGaussians, texture_size: int = 1024, square_size: int = 8
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -549,3 +549,84 @@ class TestQuadricDecimation:
         v2, f2 = density_quantile_prune(v, f, dens, quantile=0.2)
         assert len(v2) == 80
         assert f2.max() < len(v2)
+
+
+class TestBetaModes:
+    def test_weighted_average_and_learnable(self):
+        g = sphere_shell_gaussians(n=300)
+        # non-uniform scales + opacities so the weighting matters
+        k = jax.random.PRNGKey(9)
+        g = g.replace(
+            log_scales=g.log_scales
+            + 0.5 * jax.random.normal(k, g.log_scales.shape),
+            opacity_logit=2.0 * jax.random.normal(k, (g.capacity,)),
+        )
+        from autovfx_tpu.ops.knn import knn_indices
+
+        pts = jnp.asarray(np.asarray(g.xyz[:50]))
+        nbrs0, _ = knn_indices(g.xyz, g.active, k=8)
+        nbrs = nbrs0[:50]
+        b_avg = D.compute_beta(pts, nbrs, g, mode="average")
+        b_w = D.compute_beta(pts, nbrs, g, mode="weighted_average")
+        b_l = D.compute_beta(
+            pts, nbrs, g, mode="learnable",
+            log_beta=jnp.log(jnp.float32(0.05)),
+        )
+        assert np.isfinite(np.asarray(b_avg)).all()
+        assert np.isfinite(np.asarray(b_w)).all()
+        assert (np.asarray(b_w) > 0).all()
+        np.testing.assert_allclose(np.asarray(b_l), 0.05, rtol=1e-5)
+        # weighted differs from plain average under non-uniform opacity
+        assert not np.allclose(np.asarray(b_w), np.asarray(b_avg))
+
+    def test_learnable_beta_differentiable(self):
+        g = sphere_shell_gaussians(n=100)
+        pts = jnp.asarray(np.asarray(g.xyz[:10]))
+
+        def loss(lb):
+            b = D.compute_beta(
+                pts, None, g, mode="learnable", log_beta=lb
+            )
+            return jnp.sum(b**2)
+
+        grad = jax.grad(loss)(jnp.float32(-3.0))
+        assert np.isfinite(float(grad)) and float(grad) != 0
+
+
+class TestSplatMesh:
+    def test_faces_move_to_center_depth(self):
+        from autovfx_tpu.core import cameras as CC
+        from autovfx_tpu.sugar.refine import bind_to_mesh, splat_mesh
+
+        m = _octa_mesh(subdiv=1)
+        bg = bind_to_mesh(m)
+        cam = CC.look_at_camera(
+            [3.0, 0, 0.5], [0, 0, 0], [0, 0, 1],
+            fx=50.0, fy=50.0, width=64, height=48,
+        )
+        out = splat_mesh(bg, cam, mode="perspective")
+        assert len(out.vertices) == 3 * len(m.faces)
+        # each splatted triangle's vertices project (along the centroid
+        # direction) to the centroid's distance — verify for face 0
+        from autovfx_tpu.utils.linalg import transform_points
+
+        tri = out.vertices.reshape(-1, 3, 3)[0]
+        tc = np.asarray(
+            transform_points(jnp.asarray(tri), cam.R, cam.t)
+        )
+        ctr0 = m.vertices[m.faces[0]].mean(0)
+        cc = np.asarray(
+            transform_points(jnp.asarray(ctr0[None]), cam.R, cam.t)
+        )[0]
+        d = cc / np.linalg.norm(cc)
+        np.testing.assert_allclose(
+            tc @ d, np.linalg.norm(cc), rtol=1e-4
+        )
+        # depth mode: all vertex view-z equal the centroid z
+        out_d = splat_mesh(bg, cam, mode="depth")
+        tz = np.asarray(
+            transform_points(
+                jnp.asarray(out_d.vertices.reshape(-1, 3)), cam.R, cam.t
+            )
+        )[:, 2].reshape(-1, 3)
+        assert np.allclose(tz, tz[:, :1], atol=1e-5)
