@@ -125,4 +125,5 @@ class TestMetrics:
         res = MET.evaluate(g, cams, gt, config=cfg, every_nth=1)
         assert res["psnr"] > 50  # identical render
         assert res["ssim"] > 0.99
-        assert res["lpips"] is None
+        # native JAX LPIPS is always on now; identical renders ≈ 0
+        assert res["lpips"] is not None and res["lpips"] < 1e-6
