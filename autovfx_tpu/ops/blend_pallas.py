@@ -53,6 +53,10 @@ from autovfx_tpu.ops.projection import TILE, Splats2D
 
 FEAT = 16  # packed feature rows (f32 mode)
 FEAT8 = 8  # bf16-paired fast mode: gathers of <=8 sublanes run 1.6x faster
+# 6-row mode: conic (a|b), (c|log-op) additionally bf16-paired — the
+# K-sized gather is the pipeline's HBM bottleneck, and conic precision
+# only enters through exp(-q/2): dα/α = q·2⁻⁹/2 < 0.5 % where α matters
+FEAT6 = 6
 OUT_ROWS = 8  # [r, g, b, depth, alpha, 0, 0, 0]
 NEG_INF = -1e30
 LOG_OP_MIN = -100.0  # stand-in for log(0) on inert slots
@@ -131,7 +135,7 @@ def _unpack_bf16_pair(row):
 def _fwd_kernel(
     tile_start_ref, tile_chunks_ref, feat_ref, out_ref, fbuf, sems,
     *, tiles_x: int, tile: int, chunk: int, packed: bool = False,
-    prefix_split: int = 4,
+    packed6: bool = False, prefix_split: int = 4,
 ):
     P = tile * tile  # noqa: N806
     t = pl.program_id(0)
@@ -169,9 +173,17 @@ def _fwd_kernel(
             chunk_dma(1 - slot, c + 1).start()
 
         chunk_dma(slot, c).wait()
-        f = fbuf[slot]  # (FEAT or FEAT8, CHUNK)
+        f = fbuf[slot]  # (FEAT, FEAT8 or FEAT6, CHUNK)
 
-        alpha, _, _ = _chunk_alpha(f, basis, ones_p, ox, oy)
+        if packed6:
+            ca, cb = _unpack_bf16_pair(f[2:3])
+            cc, lop = _unpack_bf16_pair(f[3:4])
+            f_alpha = jnp.concatenate(
+                [f[0:2], ca, cb, cc, lop], axis=0
+            )
+        else:
+            f_alpha = f
+        alpha, _, _ = _chunk_alpha(f_alpha, basis, ones_p, ox, oy)
         lg = jnp.log1p(-alpha)
         # fast (packed) mode runs the prefix/contrib matmuls at default
         # bf16 MXU precision (~0.4% on T — below 8-bit display quanta)
@@ -208,7 +220,11 @@ def _fwd_kernel(
         )
         exc_hat = jnp.maximum(exc_raw, frozen)
         w = jnp.where(cond_f, 0.0, alpha) * jnp.exp(exc_hat)
-        if packed:
+        if packed6:
+            r_row, g_row = _unpack_bf16_pair(f[4:5])
+            b_row, d_row = _unpack_bf16_pair(f[5:6])
+            rgbd = jnp.concatenate([r_row, g_row, b_row, d_row], axis=0)
+        elif packed:
             r_row, g_row = _unpack_bf16_pair(f[6:7])
             b_row, d_row = _unpack_bf16_pair(f[7:8])
             rgbd = jnp.concatenate([r_row, g_row, b_row, d_row], axis=0)
@@ -265,6 +281,15 @@ def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
     P = tile * tile  # noqa: N806
     feat_rows = feat.shape[0]
     packed = feat_rows == FEAT8
+    packed6 = feat_rows == FEAT6
+    if packed6:
+        # Mosaic DMA slices must be 8-sublane aligned: pad the 6 packed
+        # rows with two zero rows (sequential write — the win was the
+        # 25 % fewer RANDOM row-gathers feeding this array)
+        feat = jnp.concatenate(
+            [feat, jnp.zeros((2, feat.shape[1]), feat.dtype)], axis=0
+        )
+        feat_rows = FEAT8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -282,7 +307,7 @@ def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
     return pl.pallas_call(
         functools.partial(
             _fwd_kernel, tiles_x=tiles_x, tile=tile, chunk=chunk,
-            packed=packed,
+            packed=packed or packed6, packed6=packed6,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (n_tiles, OUT_ROWS, P), jnp.float32
@@ -342,6 +367,23 @@ def pack_gaussian_features_8(splats: Splats2D) -> jax.Array:
     return jnp.concatenate(
         [
             full[0:6],
+            _pack_bf16_pair(full[6], full[7])[None, :],
+            _pack_bf16_pair(full[8], full[9])[None, :],
+        ],
+        axis=0,
+    )
+
+
+def pack_gaussian_features_6(splats: Splats2D) -> jax.Array:
+    """(6, N+1) leanest rows: mean2d f32, conic+log-op AND colors/depth
+    bf16-paired — cuts the K-sized duplicate gather (the HBM
+    bottleneck) another 25 % vs the 8-row mode.  Inference only."""
+    full = pack_gaussian_features(splats)  # (16, N+1)
+    return jnp.concatenate(
+        [
+            full[0:2],
+            _pack_bf16_pair(full[2], full[3])[None, :],
+            _pack_bf16_pair(full[4], full[5])[None, :],
             _pack_bf16_pair(full[6], full[7])[None, :],
             _pack_bf16_pair(full[8], full[9])[None, :],
         ],

@@ -133,7 +133,7 @@ def _pack_bf16_pair(a, b):
 
 
 def _kernel(cam_ref, rows_ref, feat_ref, meta_ref, *, tile, tiles_x,
-            tiles_y):
+            tiles_y, six: bool = False):
     f = lambda i: rows_ref[i]  # (BS, 128)
     c = lambda i: cam_ref[i, 0]  # (N_CAM, 1) SMEM scalars (2D rule)
 
@@ -278,12 +278,18 @@ def _kernel(cam_ref, rows_ref, feat_ref, meta_ref, *, tile, tiles_x,
 
     feat_ref[0] = m2x
     feat_ref[1] = m2y
-    feat_ref[2] = con_a
-    feat_ref[3] = con_b
-    feat_ref[4] = con_c
-    feat_ref[5] = lop
-    feat_ref[6] = _pack_bf16_pair(col[0], col[1])
-    feat_ref[7] = _pack_bf16_pair(col[2], depth)
+    if six:
+        feat_ref[2] = _pack_bf16_pair(con_a, con_b)
+        feat_ref[3] = _pack_bf16_pair(con_c, lop)
+        feat_ref[4] = _pack_bf16_pair(col[0], col[1])
+        feat_ref[5] = _pack_bf16_pair(col[2], depth)
+    else:
+        feat_ref[2] = con_a
+        feat_ref[3] = con_b
+        feat_ref[4] = con_c
+        feat_ref[5] = lop
+        feat_ref[6] = _pack_bf16_pair(col[0], col[1])
+        feat_ref[7] = _pack_bf16_pair(col[2], depth)
     meta_ref[0] = rmin_x
     meta_ref[1] = rmin_y
     meta_ref[2] = rmax_x
@@ -304,8 +310,12 @@ def preprocess_packed(
     cam: Camera,
     tile: int,
     scaling_modifier: float = 1.0,
+    feat_rows: int = FEAT8,
 ) -> PackedSplats:
-    """Run the fused kernel; returns blend features + binning inputs."""
+    """Run the fused kernel; returns blend features + binning inputs.
+
+    ``feat_rows``: 8 (geometry f32) or 6 (conic/log-op also bf16-paired
+    — the leanest gather layout, see blend_pallas.FEAT6)."""
     m = scene_rows.shape[1]
     tiles_x = (cam.width + tile - 1) // tile
     tiles_y = (cam.height + tile - 1) // tile
@@ -313,7 +323,8 @@ def preprocess_packed(
 
     feat, meta = pl.pallas_call(
         functools.partial(
-            _kernel, tile=tile, tiles_x=tiles_x, tiles_y=tiles_y
+            _kernel, tile=tile, tiles_x=tiles_x, tiles_y=tiles_y,
+            six=feat_rows == 6,
         ),
         grid=(m // BS,),
         in_specs=[
@@ -327,7 +338,7 @@ def preprocess_packed(
         ],
         out_specs=[
             pl.BlockSpec(
-                (FEAT8, BS, 128), lambda i: (0, i, 0),
+                (feat_rows, BS, 128), lambda i: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -336,7 +347,7 @@ def preprocess_packed(
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((FEAT8, m, 128), jnp.float32),
+            jax.ShapeDtypeStruct((feat_rows, m, 128), jnp.float32),
             jax.ShapeDtypeStruct((META, m, 128), jnp.int32),
         ],
     )(params.reshape(N_CAM, 1), scene_rows)
@@ -345,7 +356,7 @@ def preprocess_packed(
     # slicing copies): padded splats are inert (tiles_touched 0, lop
     # LOG_OP_MIN), and binning's dummy duplicate index n lands on the
     # first padded feature column
-    feat = feat.reshape(FEAT8, m * 128)
+    feat = feat.reshape(feat_rows, m * 128)
     meta = meta.reshape(META, m * 128)
     n_pad = m * 128
 

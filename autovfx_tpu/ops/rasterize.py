@@ -37,7 +37,8 @@ class RasterConfig:
     chunk: int = flax.struct.field(pytree_node=False, default=256)
     # "f32" = exact CUDA-parity features (differentiable); "bf16" packs
     # color/depth rows as bf16 pairs (8-row gather, ~1.6x faster;
-    # inference only — gradients require "f32")
+    # inference only); "bf16x" additionally packs conic/log-opacity
+    # (6-row gather — leanest; conic alpha error < 0.5 %)
     feature_pack: str = flax.struct.field(pytree_node=False, default="f32")
 
 
@@ -81,7 +82,7 @@ feature packing through the fused Pallas kernel (inference fast path;
     from autovfx_tpu.ops import blend_pallas
 
     backend = _select_backend(config.backend)
-    packed = config.feature_pack == "bf16" and backend == "pallas"
+    packed = config.feature_pack in ("bf16", "bf16x") and backend == "pallas"
 
     use_fused = (
         packed_rows is not None
@@ -96,6 +97,7 @@ feature packing through the fused Pallas kernel (inference fast path;
         ps = PP.preprocess_packed(
             packed_rows, g.capacity, cam, tile=config.tile,
             scaling_modifier=config.scaling_modifier,
+            feat_rows=6 if config.feature_pack == "bf16x" else 8,
         )
         splats, feat_g = ps.splats, ps.feat
     else:
@@ -110,7 +112,9 @@ feature packing through the fused Pallas kernel (inference fast path;
         )
         # per-gaussian rows (O(N), differentiable); VJP of the gather
         # below is the segment-sum that replaces CUDA atomicAdd
-        if packed:
+        if packed and config.feature_pack == "bf16x":
+            feat_g = blend_pallas.pack_gaussian_features_6(splats)
+        elif packed:
             feat_g = blend_pallas.pack_gaussian_features_8(splats)
         else:
             feat_g = blend_pallas.pack_gaussian_features(splats)
@@ -189,6 +193,7 @@ def rasterize_rows(
     ps = PP.preprocess_packed(
         packed_rows, n_pad, cam, tile=config.tile,
         scaling_modifier=config.scaling_modifier,
+        feat_rows=6 if config.feature_pack == "bf16x" else 8,
     )
     splats, feat_g = ps.splats, ps.feat
     binned = binning.bin_splats(

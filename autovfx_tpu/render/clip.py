@@ -111,6 +111,9 @@ def build_clip_inputs(
             )
         )
     dirs, contrib = importance_directions(env, num_lights)
+    hull_planes, hull_mask = RSH.trim_hull_planes(
+        hull_shape.planes, hull_shape.plane_mask
+    )
     bg_rows = None
     if pack_rows:
         from autovfx_tpu.ops import preprocess_pallas as PP
@@ -133,8 +136,8 @@ def build_clip_inputs(
             np.array([float(o.get("scale", 1.0)) for o in objects],
                      np.float32)
         ),
-        hull_planes=hull_shape.planes,
-        hull_mask=hull_shape.plane_mask,
+        hull_planes=jnp.asarray(hull_planes),
+        hull_mask=jnp.asarray(hull_mask),
         env=jnp.asarray(env.astype(np.float32)),
         env_sh=jnp.asarray(RIBL.envmap_sh9(env)),
         light_dirs=jnp.asarray(dirs),
@@ -273,20 +276,20 @@ def render_edited_frame_fused(
     merged = PP.concat_rows(inp.bg_rows, obj_rows)
     out = rasterize_rows(merged, cam, config=config)
 
-    obj_cfg = config.replace(dup_budget=obj_dup_budget)
-    obj_out = rasterize(g_obj, cam, config=obj_cfg)
-    obj_alpha = obj_out.alpha
-    obj_depth = obj_out.depth / jnp.maximum(obj_alpha, 1e-6)
-    obj_depth = jnp.where(obj_alpha > 0.01, obj_depth, 1e9)
-
     alpha = jnp.clip(out.alpha, 0.0, 1.0)
     scene_depth = out.depth / jnp.maximum(alpha, 1e-6)
     scene_depth = jnp.where(alpha > 0.01, scene_depth, 1e9)
-    # the merged depth equals the object's where the object is in front
-    visible = obj_depth <= scene_depth * 1.001 + 1e-2
-    w_obj = jnp.where(visible, obj_alpha, 0.0)
 
     planes_w = _world_hull_planes_at(inp, frame_idx)
+    # object weight from hull projection against the merged surface —
+    # replaces the object-only mini-rasterize (~100x cheaper; exact at
+    # the hull silhouette, and shadows vanish smoothly there anyway)
+    pad = 3.0 * jnp.mean(
+        inp.surf_radius * inp.traj_scale[inp.surf_body]
+    )
+    w_obj = RSH.hull_object_weight(
+        cam, scene_depth, planes_w, inp.hull_mask, pad=pad
+    )
     ratio = RSH.shadow_ratio_map(
         cam,
         out.depth,
