@@ -99,15 +99,85 @@ def retrieve_asset_from_objaverse(
     )
 
 
-def retrieve_asset_from_meshy(object_name: str) -> Dict:
-    """Meshy text-to-3D (wrapper_objaverse.py:226-317) — needs MESHY_API_KEY
-    + egress; falls back to the local library."""
-    if os.environ.get("MESHY_API_KEY"):
-        raise NotImplementedError(
-            "Meshy API path requires network egress (preview→refine→poll "
-            "→download, wrapper_objaverse.py:226-317)."
+MESHY_API = "https://api.meshy.ai/v2/text-to-3d"
+
+
+def _meshy_request(url: str, api_key: str, payload=None) -> Dict:
+    import json as _json
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=_json.dumps(payload).encode() if payload is not None
+        else None,
+        headers={
+            "Authorization": f"Bearer {api_key}",
+            "Content-Type": "application/json",
+        },
+        method="POST" if payload is not None else "GET",
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return _json.loads(r.read())
+
+
+def _meshy_poll(task_id: str, api_key: str, interval: float = 5.0,
+                timeout: float = 600.0) -> Dict:
+    import time
+
+    t0 = time.time()
+    while True:
+        task = _meshy_request(f"{MESHY_API}/{task_id}", api_key)
+        if task.get("status") in ("SUCCEEDED", "FAILED", "EXPIRED"):
+            return task
+        if time.time() - t0 > timeout:
+            raise TimeoutError(f"meshy task {task_id} timed out")
+        time.sleep(interval)
+
+
+def retrieve_asset_from_meshy(
+    object_name: str, out_dir: Optional[str] = None
+) -> Dict:
+    """Meshy text-to-3D (wrapper_objaverse.py:226-317): preview task →
+    poll → refine task → poll → download GLB.  Needs MESHY_API_KEY and
+    network egress; any failure falls back to the local library."""
+    api_key = os.environ.get("MESHY_API_KEY")
+    if not api_key:
+        return retrieve_asset_from_objaverse(object_name)
+    try:
+        prev = _meshy_request(
+            MESHY_API, api_key,
+            {"mode": "preview", "prompt": object_name,
+             "art_style": "realistic"},
         )
-    return retrieve_asset_from_objaverse(object_name)
+        task = _meshy_poll(prev["result"], api_key)
+        if task.get("status") != "SUCCEEDED":
+            raise RuntimeError(f"meshy preview failed: {task}")
+        ref = _meshy_request(
+            MESHY_API, api_key,
+            {"mode": "refine", "preview_task_id": prev["result"]},
+        )
+        task = _meshy_poll(ref["result"], api_key)
+        if task.get("status") != "SUCCEEDED":
+            raise RuntimeError(f"meshy refine failed: {task}")
+        url = task["model_urls"]["glb"]
+        import urllib.request
+
+        out_dir = out_dir or os.path.join(
+            os.path.expanduser("~"), ".cache", "autovfx_meshy"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(
+            out_dir, "_".join(object_name.split()) + ".glb"
+        )
+        urllib.request.urlretrieve(url, path)
+        return {
+            "object_name": object_name,
+            "object_path": path,
+            "source": "meshy",
+        }
+    except Exception as e:  # noqa: BLE001 — offline/API failure → local
+        print(f"meshy retrieval failed ({e}); using local library")
+        return retrieve_asset_from_objaverse(object_name)
 
 
 def retrieve_materials_from_polyhaven(material_name: str) -> Optional[str]:

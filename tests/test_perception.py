@@ -66,3 +66,52 @@ class TestMergeInstances:
         ids = merge_instances(root)
         assert len(ids) == 1
         assert ids[0] == 7  # 1+2=3, 3+4=7
+
+
+class TestMeshyWorkflow:
+    def test_preview_refine_download(self, tmp_path, monkeypatch):
+        """Mocked Meshy API: preview → poll → refine → poll → GLB."""
+        from autovfx_tpu.retrieval import wrappers as W
+
+        calls = []
+
+        def fake_request(url, api_key, payload=None):
+            calls.append((url, payload))
+            if payload is not None and payload.get("mode") == "preview":
+                return {"result": "task-p"}
+            if payload is not None and payload.get("mode") == "refine":
+                return {"result": "task-r"}
+            # poll
+            return {
+                "status": "SUCCEEDED",
+                "model_urls": {"glb": "https://x/model.glb"},
+            }
+
+        def fake_retrieve(url, path):
+            with open(path, "wb") as f:
+                f.write(b"glTF-mock")
+
+        monkeypatch.setenv("MESHY_API_KEY", "k")
+        monkeypatch.setattr(W, "_meshy_request", fake_request)
+        import urllib.request
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+        out = W.retrieve_asset_from_meshy(
+            "red dragon", out_dir=str(tmp_path)
+        )
+        assert out["source"] == "meshy"
+        assert out["object_path"].endswith("red_dragon.glb")
+        import os
+
+        assert os.path.exists(out["object_path"])
+        modes = [p.get("mode") for _u, p in calls if p]
+        assert modes == ["preview", "refine"]
+
+    def test_offline_falls_back(self, monkeypatch):
+        from autovfx_tpu.retrieval import wrappers as W
+
+        monkeypatch.delenv("MESHY_API_KEY", raising=False)
+        # no key → delegates to the local-library path (which raises
+        # its own clear error when no library is configured either)
+        with pytest.raises(W.AssetNotFound):
+            W.retrieve_asset_from_meshy("box")
