@@ -313,14 +313,35 @@ def render_clip(
     num_frames: int,
     config: RasterConfig,
     fused: bool = False,
+    supersample: int = 1,
 ) -> jax.Array:
-    """(F, H, W, 3) edited frames, one jitted scan."""
+    """(F, H, W, 3) edited frames, one jitted scan.
+
+    ``supersample`` > 1 renders at an upscaled camera and box-filters
+    down (the reference renders Blender passes at 2x and averages,
+    all_rendering.py:2195-2209 / blend_all.py:21-28)."""
     frame_fn = render_edited_frame_fused if fused else render_edited_frame
+    if supersample > 1:
+        inp = inp._replace(
+            cams=inp.cams.replace(
+                fx=inp.cams.fx * supersample,
+                fy=inp.cams.fy * supersample,
+                cx=inp.cams.cx * supersample,
+                cy=inp.cams.cy * supersample,
+                width=inp.cams.width * supersample,
+                height=inp.cams.height * supersample,
+            )
+        )
 
     @jax.jit
     def run(inp):
         def frame(_, i):
-            return None, frame_fn(inp, i, config)
+            f = frame_fn(inp, i, config)
+            for _ in range(max(supersample, 1).bit_length() - 1):
+                from autovfx_tpu.render.composite import downsample2x
+
+                f = downsample2x(f)
+            return None, f
 
         _, frames = jax.lax.scan(frame, None, jnp.arange(num_frames))
         return frames

@@ -33,7 +33,10 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", 256 if TILE == 16 else 128))
 _default_budget = 6_291_456 if TILE == 16 else 2_097_152
 DUP_BUDGET = int(os.environ.get("BENCH_DUP_BUDGET", _default_budget))
 FRAMES = int(os.environ.get("BENCH_FRAMES", 8))
-MODE = os.environ.get("BENCH_MODE", "view")  # view | edit
+# BASELINE.md's headline metric is EDITED-frame throughput (config 4):
+# full object + shadow + composite per frame.  BENCH_MODE=view measures
+# the plain novel-view rasterizer.
+MODE = os.environ.get("BENCH_MODE", "edit")  # edit | view
 BASELINE_FPS = 60.0  # BASELINE.md: edited-frame rendering >= 60 FPS/chip
 
 
