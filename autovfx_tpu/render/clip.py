@@ -153,12 +153,33 @@ def shaded_object_gaussians(
     rot = inp.traj_rot[frame_idx]  # (B, 3, 3)
     pos = inp.traj_pos[frame_idx]  # (B, 3)
     s = inp.traj_scale[inp.surf_body][:, None]
-    r = rot[inp.surf_body]  # (S, 3, 3)
-    p_world = (
-        jnp.einsum("sij,sj->si", r, inp.surf_points * s)
-        + pos[inp.surf_body]
+    # scalarized rotation apply: XLA lowers batched (S, 3, 3) matmuls
+    # ~10x slower than the expanded elementwise form (see
+    # ops/projection.compute_cov3d)
+    rb = rot[inp.surf_body]  # (S, 3, 3) gather of per-body rows
+    p = inp.surf_points * s
+    px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+    nx, ny, nz = (
+        inp.surf_normals[:, 0],
+        inp.surf_normals[:, 1],
+        inp.surf_normals[:, 2],
     )
-    n_world = jnp.einsum("sij,sj->si", r, inp.surf_normals)
+    p_world = jnp.stack(
+        [
+            rb[:, 0, 0] * px + rb[:, 0, 1] * py + rb[:, 0, 2] * pz,
+            rb[:, 1, 0] * px + rb[:, 1, 1] * py + rb[:, 1, 2] * pz,
+            rb[:, 2, 0] * px + rb[:, 2, 1] * py + rb[:, 2, 2] * pz,
+        ],
+        axis=-1,
+    ) + pos[inp.surf_body]
+    n_world = jnp.stack(
+        [
+            rb[:, 0, 0] * nx + rb[:, 0, 1] * ny + rb[:, 0, 2] * nz,
+            rb[:, 1, 0] * nx + rb[:, 1, 1] * ny + rb[:, 1, 2] * nz,
+            rb[:, 2, 0] * nx + rb[:, 2, 1] * ny + rb[:, 2, 2] * nz,
+        ],
+        axis=-1,
+    )
     view = p_world - cam.center[None]
     view = view / jnp.maximum(
         jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-12
