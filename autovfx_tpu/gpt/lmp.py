@@ -230,6 +230,17 @@ def setup_LMP(
             "get_vehicle_position", "get_direction", "retrieve_chatsim_asset",
         )
     }
+    # schema constructors the reference also exposes to programs
+    # (edit_utils.py:67-114: get_default_object_info /
+    # get_default_event_info / Material)
+    from autovfx_tpu.edit.edit_ir import (
+        default_event_info,
+        default_object_info,
+    )
+
+    dsl["get_default_object_info"] = default_object_info
+    dsl["get_default_event_info"] = default_event_info
+    dsl["Material"] = EU.Material
 
     # generated programs pass `scene` explicitly (prompt convention),
     # matching the reference's variable_vars wiring (code_gen.py:35-46)

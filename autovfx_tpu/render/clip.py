@@ -265,7 +265,7 @@ def render_edited_frame_fused(
     inp: ClipInputs,
     frame_idx,
     config: RasterConfig,
-    obj_dup_budget: int = 1 << 18,
+    obj_dup_budget: int = 1 << 18,  # unused (kept for API stability)
     shadow_scale: int = 2,
 ) -> jax.Array:
     """One edited frame through ONE merged rasterization (fast path).
@@ -274,15 +274,15 @@ def render_edited_frame_fused(
     depth_check composite (blend_all.py:249-307), the shaded object
     splats are spliced into the background's scene-rows layout and
     blended in a single pass — per-splat depth ordering resolves
-    object↔scene occlusion exactly.  A small object-only pass (tiny
-    duplicate budget) recovers the per-pixel object weight so the
-    shadow ratio darkens only the background contribution:
+    object↔scene occlusion exactly.  An analytic hull projection
+    (shadow.hull_object_weight) recovers the per-pixel object weight so
+    the shadow ratio darkens only the background contribution:
 
         frame = C · (1 − (1−ratio) · (1−w_obj) · α)
 
     which matches the compositor's catcher-weighted darkening on pure
     background pixels and leaves pure object pixels untouched; the
-    approximation only differs inside the ~1px silhouette band.
+    approximation only differs inside the hull-silhouette band.
 
     Requires ``inp.bg_rows`` (build_clip_inputs(pack_rows=True)) and the
     Pallas bf16 backend.

@@ -68,6 +68,12 @@ def run_scene_editing(hparams, edit_text, offline_program=None):
 
 
 if __name__ == "__main__":
+    if os.environ.get("AUTOVFX_FORCE_CPU"):
+        # the axon TPU plugin ignores JAX_PLATFORMS; force via config
+        # before the backend initializes (tests / debugging)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     hparams = get_opts()
     with open("logs_lmp_code_gen.txt", "a") as f:
         f.write(f"\n=== {hparams.edit_text}\n")

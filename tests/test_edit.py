@@ -380,3 +380,56 @@ class TestExtraction:
         frac_cluster = (np.linalg.norm(
             sel_xyz - [0, 0, 0.5], axis=1) < 0.8).mean()
         assert frac_cluster > 0.7
+
+
+class TestEditSceneCLI:
+    def test_cli_offline_program(self, scene, tmp_path):
+        """edit_scene.py end-to-end through the real CLI surface
+        (argparse → SceneParams → LMP preamble → render_scene)."""
+        import subprocess
+        import sys
+
+        root = scene.hparams.source_path
+        ball_path = os.path.join(str(tmp_path), "ball.obj")
+        mesh_io.save_obj(ball_path, box_mesh(0.5, color=(0.2, 0.2, 0.9)))
+        prog = tmp_path / "prog.py"
+        prog.write_text(
+            "obj = get_default_object_info()\n"
+            f"obj['object_path'] = {ball_path!r}\n"
+            "obj['object_name'] = 'blue box'\n"
+            "obj['object_id'] = 'bluebox1'\n"
+            "obj['pos'] = [0.0, 0.0, 0.8]\n"
+            "obj['scale'] = 0.3\n"
+            "insert_object(scene, obj)\n"
+        )
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(repo, "edit_scene.py"),
+                "--source_path", root,
+                "--model_path", root,
+                "--gaussians_ckpt_path",
+                scene.hparams.gaussians_ckpt_path,
+                "--scene_mesh_path", scene.hparams.scene_mesh_path,
+                "--custom_traj_name", "test_traj",
+                "--dup_budget", str(1 << 14),
+                "--edit_text", "Put a blue box in the scene.",
+                "--offline_program", str(prog),
+            ],
+            cwd=str(tmp_path),
+            capture_output=True,
+            text=True,
+            timeout=1200,
+            env={**os.environ, "AUTOVFX_FORCE_CPU": "1"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        # the LMP preamble's render_scene writes the edit-config IR
+        cache = os.path.join(root, "cache")
+        cfgs = [
+            os.path.join(dp, f)
+            for dp, _dn, fn in os.walk(root)
+            for f in fn
+            if f == "edit_config.json"
+        ]
+        assert cfgs, f"no edit_config.json under {root} (cache {cache})"
