@@ -342,8 +342,14 @@ def train(
     log_every: int = 0,
     depths: jax.Array | None = None,
     normals: jax.Array | None = None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
 ):
     """Host training loop (train.py:29-188 cadence).
+
+    ``checkpoint_path``/``checkpoint_every``: periodic full-state saves
+    (reference ``checkpoint_iterations``) so long trainings resume
+    after interruption via ``train.checkpoint.load_checkpoint``.
 
     cams: batched Camera pytree (F cameras); images: (F, H, W, 3).
     """
@@ -380,6 +386,12 @@ def train(
             if it % cfg.opacity_reset_interval == 0:
                 state = reset_fn(state)
 
+        if checkpoint_path and checkpoint_every and (
+            it % checkpoint_every == 0 or it == cfg.iterations
+        ):
+            from autovfx_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, state)
         if log_every and it % log_every == 0:
             history.append(
                 {

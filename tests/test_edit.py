@@ -383,6 +383,7 @@ class TestExtraction:
 
 
 class TestEditSceneCLI:
+    @pytest.mark.slow
     def test_cli_offline_program(self, scene, tmp_path):
         """edit_scene.py end-to-end through the real CLI surface
         (argparse → SceneParams → LMP preamble → render_scene)."""

@@ -43,6 +43,7 @@ class TestMesh:
 
 
 class TestShardedRender:
+    @pytest.mark.slow
     def test_matches_single_device(self):
         g, cam = make_scene(n=200, width=32, height=24, key=0)
         mesh = make_mesh((1, 8))
@@ -104,6 +105,7 @@ class TestDPTraining:
 
 
 class TestCompactSharding:
+    @pytest.mark.slow
     def test_compact_capacity_and_exactness(self):
         from autovfx_tpu.parallel.sharding import (
             shard_gaussians_compact, sharded_render_compact,
@@ -147,6 +149,7 @@ class TestCompactSharding:
 
 
 class TestDPTrainLoop:
+    @pytest.mark.slow
     def test_dp_train_densifies_and_checkpoints(self, tmp_path):
         from autovfx_tpu.parallel.sharding import dp_train
 

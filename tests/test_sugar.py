@@ -430,6 +430,7 @@ class TestTSDFFusion:
         assert np.mean(r_t < 0.7) < 0.02
         assert np.mean(r_t > 1.8) < 0.05
 
+    @pytest.mark.slow
     def test_poisson_beats_density_grid(self):
         """VERDICT gate: the screened-Poisson mesh's RMS-to-levelset
         beats the round-1 marching-tets density mesh."""
