@@ -286,6 +286,53 @@ def bake_texture(
     return tex, uv.reshape(-1, 2)
 
 
+def postprocess_bound_mesh(
+    bg: BoundGaussians,
+    iterations: int = 1,
+    min_opacity: float = 0.1,
+) -> BoundGaussians:
+    """Strip low-support border faces before export
+    (refined_mesh.py:129-191): iteratively remove faces with an
+    unshared edge (mesh border), then re-add removed faces whose bound
+    Gaussians keep high opacity (the reference re-adds by density).
+    Per-face Gaussian parameters are carried to the trimmed mesh.
+    """
+    faces = np.asarray(bg.faces)
+    n_b = bg.bary.shape[0]
+    keep = np.ones(len(faces), bool)
+    for _ in range(max(iterations, 0)):
+        e = np.concatenate(
+            [faces[keep][:, [0, 1]], faces[keep][:, [1, 2]],
+             faces[keep][:, [2, 0]]], axis=0
+        )
+        e = np.sort(e, axis=1)
+        uniq, counts = np.unique(e, axis=0, return_counts=True)
+        shared = {tuple(k) for k, c in zip(uniq, counts) if c >= 2}
+        kept_idx = np.nonzero(keep)[0]
+        fk = faces[kept_idx]
+        inside = np.array(
+            [
+                tuple(sorted((a, b))) in shared
+                and tuple(sorted((b, c))) in shared
+                and tuple(sorted((c, a))) in shared
+                for a, b, c in fk
+            ]
+        )
+        keep[kept_idx] = inside
+    # re-add removed faces whose splats still carry real opacity
+    op = 1.0 / (1.0 + np.exp(-np.asarray(bg.opacity_logit)))
+    face_op = op.reshape(len(faces), n_b).mean(axis=1)
+    keep |= (~keep) & (face_op > min_opacity)
+
+    g_keep = np.repeat(keep, n_b)
+    return bg.replace(
+        faces=jnp.asarray(faces[keep]),
+        log_scales2d=bg.log_scales2d[jnp.asarray(g_keep)],
+        rot_complex=bg.rot_complex[jnp.asarray(g_keep)],
+        opacity_logit=bg.opacity_logit[jnp.asarray(g_keep)],
+    )
+
+
 def export_refined_mesh(
     bg: BoundGaussians,
     path: str,

@@ -631,3 +631,48 @@ class TestSplatMesh:
             )
         )[:, 2].reshape(-1, 3)
         assert np.allclose(tz, tz[:, :1], atol=1e-5)
+
+
+class TestPostprocessBoundMesh:
+    def test_strips_border_readds_opaque(self):
+        from autovfx_tpu.sugar.refine import (
+            bind_to_mesh, postprocess_bound_mesh,
+        )
+
+        # a strip of 4 triangles: the two END faces are border-heavy
+        from autovfx_tpu.edit.mesh_io import Mesh
+
+        v = np.array(
+            [[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0],
+             [0, 1, 0], [1, 1, 0], [2, 1, 0], [3, 1, 0]], np.float32
+        )
+        f = np.array(
+            [[0, 1, 4], [1, 5, 4], [1, 2, 5], [2, 6, 5],
+             [2, 3, 6], [3, 7, 6]], np.int64
+        )
+        bg = bind_to_mesh(Mesh(vertices=v, faces=f), n_per_triangle=3)
+        # all faces in a flat strip have border edges → all would be
+        # stripped; low opacity keeps them out, high opacity re-adds
+        low = bg.replace(
+            opacity_logit=jnp.full_like(bg.opacity_logit, -4.0)
+        )
+        out_low = postprocess_bound_mesh(low, iterations=1)
+        assert out_low.faces.shape[0] < f.shape[0]
+        high = bg  # initial opacity 0.9
+        out_high = postprocess_bound_mesh(high, iterations=1)
+        assert out_high.faces.shape[0] == f.shape[0]
+        # per-face gaussian params stay aligned
+        assert (
+            out_low.opacity_logit.shape[0]
+            == out_low.faces.shape[0] * 3
+        )
+
+    def test_closed_mesh_untouched(self):
+        from autovfx_tpu.sugar.refine import (
+            bind_to_mesh, postprocess_bound_mesh,
+        )
+
+        m = _octa_mesh(subdiv=1)
+        bg = bind_to_mesh(m)
+        out = postprocess_bound_mesh(bg, iterations=2)
+        assert out.faces.shape[0] == bg.faces.shape[0]
