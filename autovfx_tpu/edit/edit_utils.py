@@ -519,16 +519,23 @@ def get_vehicle_position(scene_representation):
 
 
 def get_direction(scene_representation, direction="front"):
-    """edit_utils.py:559-580: unit direction in the vehicle frame."""
-    mapping = {
-        "front": np.array([1.0, 0.0, 0.0]),
-        "back": np.array([-1.0, 0.0, 0.0]),
-        "left": np.array([0.0, 1.0, 0.0]),
-        "right": np.array([0.0, -1.0, 0.0]),
-    }
-    if direction not in mapping:
+    """edit_utils.py:559-580: directions derived from the anchor
+    camera's rotation (OpenCV axes: x right, y down, z forward) —
+    front/back are the horizontal forward (up × x_axis), left/right
+    follow the camera's x axis, up/down are world ±z."""
+    if direction not in ("up", "down", "front", "back", "left", "right"):
         raise ValueError(f"Invalid direction: {direction}")
-    return mapping[direction].astype(np.float32)
+    R = scene_representation.camera_rotation
+    x_axis = R[:, 0]
+    mapping = {
+        "up": np.array([0.0, 0.0, 1.0]),
+        "down": np.array([0.0, 0.0, -1.0]),
+        "front": np.cross(np.array([0.0, 0.0, 1.0]), x_axis),
+        "back": np.cross(np.array([0.0, 0.0, -1.0]), x_axis),
+        "left": -x_axis,
+        "right": x_axis,
+    }
+    return np.asarray(mapping[direction], np.float32)
 
 
 def retrieve_chatsim_asset(scene_representation, object_name):

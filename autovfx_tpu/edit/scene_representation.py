@@ -146,6 +146,14 @@ class SceneRepresentation:
         return np.asarray(cam.center)
 
     @property
+    def camera_rotation(self) -> np.ndarray:
+        """(3, 3) anchor-frame camera-to-world rotation (columns =
+        OpenCV x/y/z camera axes in world; reference
+        scene_representation.py:104-105)."""
+        cam = C.index_camera(self.cameras, self.hparams.anchor_frame_idx)
+        return np.asarray(cam.R).T  # w2c transposed = c2w
+
+    @property
     def anchor_camera(self) -> C.Camera:
         return C.index_camera(self.cameras, self.hparams.anchor_frame_idx)
 

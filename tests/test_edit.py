@@ -434,3 +434,32 @@ class TestEditSceneCLI:
             if f == "edit_config.json"
         ]
         assert cfgs, f"no edit_config.json under {root} (cache {cache})"
+
+
+class TestDrivingHelpers:
+    def test_directions_follow_camera(self, scene):
+        from autovfx_tpu.edit import edit_utils as EU
+
+        front = EU.get_direction(scene, "front")
+        left = EU.get_direction(scene, "left")
+        right = EU.get_direction(scene, "right")
+        up = EU.get_direction(scene, "up")
+        np.testing.assert_allclose(up, [0, 0, 1])
+        np.testing.assert_allclose(left, -right, atol=1e-6)
+        # front is horizontal (no z) and orthogonal to the camera x axis
+        assert abs(front[2]) < 1e-6
+        assert abs(np.dot(front, right)) < 1e-6
+        # anchor camera looks toward the origin from (3, 0, 1.6):
+        # horizontal forward points in -x
+        assert front[0] < -0.5
+        with pytest.raises(ValueError):
+            EU.get_direction(scene, "sideways")
+
+    def test_vehicle_position_on_ground(self, scene):
+        from autovfx_tpu.edit import edit_utils as EU
+
+        p = EU.get_vehicle_position(scene)
+        assert p[2] == 0.0
+        np.testing.assert_allclose(
+            p[:2], scene.camera_position[:2], atol=1e-6
+        )
