@@ -221,6 +221,65 @@ def rasterize_rows(
     )
 
 
+def rasterize_rows_pair(
+    rows_a: jax.Array,
+    rows_b: jax.Array,
+    cam: Camera,
+    bg: jax.Array | None = None,
+    config: RasterConfig = RasterConfig(),
+) -> RenderOutput:
+    """Merged render of two scene-rows layouts (e.g. static background
+    + per-frame object splats) WITHOUT concatenating the row arrays:
+    each runs the fused preprocess kernel separately and only the small
+    per-splat outputs are concatenated — avoids copying the ~240 MB
+    background layout every frame (the scene-rows concat costs more
+    than the object pass it feeds)."""
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+    from autovfx_tpu.ops import blend_pallas
+    from autovfx_tpu.ops import preprocess_pallas as PP
+
+    feat_rows = 6 if config.feature_pack == "bf16x" else 8
+    parts = []
+    for rows in (rows_a, rows_b):
+        n_pad = rows.shape[1] * 128
+        parts.append(
+            PP.preprocess_packed(
+                rows, n_pad, cam, tile=config.tile,
+                scaling_modifier=config.scaling_modifier,
+                feat_rows=feat_rows,
+            )
+        )
+    feat_g = jnp.concatenate([p.feat for p in parts], axis=1)
+    splats = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=0),
+        parts[0].splats, parts[1].splats,
+    )
+    binned = binning.bin_splats(
+        splats, cam.width, cam.height, config.dup_budget,
+        tile=config.tile, chunk=config.chunk,
+    )
+    feat_dup = feat_g[:, binned.gid]
+    tx, ty = binned.num_tiles_x, binned.num_tiles_y
+    out_rows = blend_pallas._blend_fwd_call(
+        feat_dup, binned.tile_start, binned.tile_chunks,
+        tx * ty, tx, config.tile, config.chunk,
+    )
+    rows = blend_ref.assemble_rows(
+        out_rows, tx, ty, cam.width, cam.height, tile=config.tile
+    )
+    img_color = jnp.moveaxis(rows[0:3], 0, -1)
+    img_alpha = rows[4]
+    img_color = img_color + (1.0 - img_alpha)[..., None] * bg
+    return RenderOutput(
+        color=img_color,
+        depth=rows[3],
+        alpha=img_alpha,
+        radii=splats.radius,
+        overflow=binned.overflow,
+    )
+
+
 class RenderDict(NamedTuple):
     """Full reference-render bundle (gaussian_renderer.render parity)."""
 

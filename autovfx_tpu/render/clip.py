@@ -288,14 +288,13 @@ def render_edited_frame_fused(
     Pallas bf16 backend.
     """
     from autovfx_tpu.ops import preprocess_pallas as PP
-    from autovfx_tpu.ops.rasterize import rasterize_rows
+    from autovfx_tpu.ops.rasterize import rasterize_rows_pair
 
     cam = index_camera(inp.cams, frame_idx)
 
     g_obj = shaded_object_gaussians(inp, frame_idx, cam)
     obj_rows = PP.pack_scene_rows(g_obj)
-    merged = PP.concat_rows(inp.bg_rows, obj_rows)
-    out = rasterize_rows(merged, cam, config=config)
+    out = rasterize_rows_pair(inp.bg_rows, obj_rows, cam, config=config)
 
     alpha = jnp.clip(out.alpha, 0.0, 1.0)
     scene_depth = out.depth / jnp.maximum(alpha, 1e-6)
