@@ -122,23 +122,50 @@ def bin_splats(
 
     # ---- depth pre-sort of gaussians ----------------------------------------
     # values ride the sort as payloads: XLA's post-hoc gathers run at
-    # ~1 element / 14 ns (4 gathers cost more than the sort itself)
+    # ~1 element / 14 ns (4 gathers cost more than the sort itself).
+    # Sort cost ~0.7 ms/stream at N=1M: small tile grids (the production
+    # operating point) pack the whole rect into ONE 29-bit stream
+    # (x9|y9|w6|h5), cutting the presort from 5 to 3 streams.
     live = splats.tiles_touched > 0
     depth_key = jnp.where(live, splats.depth, jnp.float32(jnp.inf))
-    xy_packed = splats.tile_min[:, 0] | (splats.tile_min[:, 1] << 9)
-    rect_w0 = jnp.maximum(
-        splats.tile_max[:, 0] - splats.tile_min[:, 0], 1
-    )
-    _, counts_d, xy_d, w_d, depth_order = jax.lax.sort(
-        (
-            depth_key,
-            splats.tiles_touched,
-            xy_packed,
-            rect_w0,
-            jnp.arange(n, dtype=jnp.int32),
-        ),
-        num_keys=1,
-    )
+    compact = tiles_x < 64 and tiles_y < 32
+    if compact:
+        rect_w0 = jnp.maximum(
+            splats.tile_max[:, 0] - splats.tile_min[:, 0], 1
+        )
+        rect_h0 = jnp.maximum(
+            splats.tile_max[:, 1] - splats.tile_min[:, 1], 1
+        )
+        packed_all = jnp.where(
+            live,
+            splats.tile_min[:, 0]
+            | (splats.tile_min[:, 1] << 9)
+            | (rect_w0 << 18)
+            | (rect_h0 << 24),
+            0,  # culled: w=h=0 -> counts 0 (no gather needed post-sort)
+        )
+        _, packed_d, depth_order = jax.lax.sort(
+            (depth_key, packed_all, jnp.arange(n, dtype=jnp.int32)),
+            num_keys=1,
+        )
+        xy_d = packed_d & 0x3FFFF
+        w_d = (packed_d >> 18) & 0x3F
+        counts_d = w_d * ((packed_d >> 24) & 0x1F)
+    else:
+        xy_packed = splats.tile_min[:, 0] | (splats.tile_min[:, 1] << 9)
+        rect_w0 = jnp.maximum(
+            splats.tile_max[:, 0] - splats.tile_min[:, 0], 1
+        )
+        _, counts_d, xy_d, w_d, depth_order = jax.lax.sort(
+            (
+                depth_key,
+                splats.tiles_touched,
+                xy_packed,
+                rect_w0,
+                jnp.arange(n, dtype=jnp.int32),
+            ),
+            num_keys=1,
+        )
 
     offsets = jnp.cumsum(counts_d) - counts_d  # exclusive, depth order
     total = (offsets[-1] + counts_d[-1]).astype(jnp.int32)
@@ -158,12 +185,24 @@ def bin_splats(
         # live offsets are strictly increasing (counts >= 1); the culled
         # suffix is excluded via the sentinel so windows stay bounded
         starts_eff = jnp.where(counts_d > 0, offsets, FP.EXCLUDED)
-        group_start, orig_id, xy_f, rect_w = FP.monotone_fill(
-            starts_eff,
-            [jnp.minimum(offsets, k), depth_order, xy_d, w_d],
-            k,
-            interpret=(fill_backend == "pallas_interpret"),
-        )
+        if compact:
+            # rect fits one 24-bit fill stream (x9|y9|w6): 3 streams
+            xyw = xy_d | (w_d << 18)
+            group_start, orig_id, xyw_f = FP.monotone_fill(
+                starts_eff,
+                [jnp.minimum(offsets, k), depth_order, xyw],
+                k,
+                interpret=(fill_backend == "pallas_interpret"),
+            )
+            xy_f = xyw_f & 0x3FFFF
+            rect_w = xyw_f >> 18
+        else:
+            group_start, orig_id, xy_f, rect_w = FP.monotone_fill(
+                starts_eff,
+                [jnp.minimum(offsets, k), depth_order, xy_d, w_d],
+                k,
+                interpret=(fill_backend == "pallas_interpret"),
+            )
         rank = slot - group_start
         tmin_x = xy_f & 0x1FF
         tmin_y = xy_f >> 9

@@ -136,7 +136,16 @@ def _fwd_kernel(
     tile_start_ref, tile_chunks_ref, feat_ref, out_ref, fbuf, sems,
     *, tiles_x: int, tile: int, chunk: int, packed: bool = False,
     packed6: bool = False, prefix_split: int = 4,
+    exact_freeze: bool = True,
 ):
+    """``exact_freeze=False`` (packed fast path): skip the per-(dup,
+    pixel) test_T<1e-4 freeze chain (~7 of ~20 VPU ops/pair) and exit
+    at CHUNK granularity once every pixel's T < 1e-4 instead.  The
+    total contribution a pixel can receive after crossing T_EPS is
+    bounded by its remaining transmittance (Σ_{j>i} α_j·T_j ≤ T_i <
+    1e-4), so color/alpha deviate from the CUDA freeze semantics by
+    < 1e-4 — far below the bf16 color quantization this path already
+    carries.  The f32/training path keeps the exact freeze."""
     P = tile * tile  # noqa: N806
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -212,14 +221,17 @@ def _fwd_kernel(
             base = base + jnp.sum(lg_g, axis=0, keepdims=True)
         exc = jnp.concatenate(exc_parts, axis=0)
         exc_raw = exc + logT
-        # freeze test in log space (exp is monotone): saves one
-        # (C, P) transcendental per chunk vs exp(exc_raw)*(1-α) < T_EPS
-        cond_f = (exc_raw + lg < LOG_T_EPS) | (done > 0.5)
-        frozen = jnp.max(
-            jnp.where(cond_f, exc_raw, NEG_INF), axis=0, keepdims=True
-        )
-        exc_hat = jnp.maximum(exc_raw, frozen)
-        w = jnp.where(cond_f, 0.0, alpha) * jnp.exp(exc_hat)
+        if exact_freeze:
+            # freeze test in log space (exp is monotone): saves one
+            # (C, P) transcendental per chunk vs exp(exc_raw)*(1-α) < T_EPS
+            cond_f = (exc_raw + lg < LOG_T_EPS) | (done > 0.5)
+            frozen = jnp.max(
+                jnp.where(cond_f, exc_raw, NEG_INF), axis=0, keepdims=True
+            )
+            exc_hat = jnp.maximum(exc_raw, frozen)
+            w = jnp.where(cond_f, 0.0, alpha) * jnp.exp(exc_hat)
+        else:
+            w = alpha * jnp.exp(exc_raw)
         if packed6:
             r_row, g_row = _unpack_bf16_pair(f[4:5])
             b_row, d_row = _unpack_bf16_pair(f[5:6])
@@ -242,10 +254,15 @@ def _fwd_kernel(
             axis=0,
         )
         # base already holds Σ lg over the whole chunk
-        logT_new = jnp.maximum(logT + base, frozen)
-        done_new = jnp.maximum(
-            done, jnp.max(cond_f.astype(jnp.float32), axis=0, keepdims=True)
-        )
+        if exact_freeze:
+            logT_new = jnp.maximum(logT + base, frozen)
+            done_new = jnp.maximum(
+                done,
+                jnp.max(cond_f.astype(jnp.float32), axis=0, keepdims=True),
+            )
+        else:
+            logT_new = logT + base
+            done_new = (logT_new < LOG_T_EPS).astype(jnp.float32)
         return c + 1, logT_new, done_new, acc
 
     init = (
@@ -268,6 +285,180 @@ def _fwd_kernel(
     out_ref[0] = jnp.where(row == 4, alpha_row, acc)
 
 
+def _group_select(groups: int, chunk: int):
+    """(G, C) selection matrix picking the last row of each 8-group."""
+    g = jax.lax.broadcasted_iota(jnp.int32, (groups, chunk), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (groups, chunk), 1)
+    return (c == g * 8 + 7).astype(jnp.float32)
+
+
+def _group_repeat(chunk: int, groups: int):
+    """(C, G) matrix broadcasting per-group rows back to all 8 slots."""
+    c = jax.lax.broadcasted_iota(jnp.int32, (chunk, groups), 0)
+    g = jax.lax.broadcasted_iota(jnp.int32, (chunk, groups), 1)
+    return (c // 8 == g).astype(jnp.float32)
+
+
+def _mm_f32(a, b):
+    """Exact-f32 MXU matmul (selection/prefix matrices are 0/1)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _fwd_kernel_v3(
+    tile_start_ref, tile_chunks_ref, feat_ref, out_ref, fbuf, sems,
+    *, tiles_x: int, tile: int, chunk: int, packed: bool = False,
+    packed6: bool = False,
+):
+    """Linear-space transmittance forward blend.
+
+    Same semantics as ``_fwd_kernel`` (forward.cu renderCUDA parity:
+    skip rules, 0.99 clamp, test_T<1e-4 freeze) but the front-to-back
+    transmittance is tracked as *products* instead of log-sums:
+
+    - per-(dup,pixel) work drops from 3 transcendental passes
+      (exp, log1p — 13.8x a mul on v5e — and a second exp) to ONE exp;
+    - within sublane-groups of 8 the prefix Π(1-α) is an exact
+      segmented Hillis-Steele shift-multiply scan (3 rolls);
+    - across groups the prefix runs in log space at 1/8 density
+      (log+exp on (C/8, P) only), via an exact-f32 strict-triangular
+      MXU matmul;
+    - the freeze test becomes ``T_i·(1-α_i) < T_EPS`` directly
+      (test_T is monotone within a tile, so the frozen transmittance
+      is a single masked max — no second scan), and the final alpha is
+      ``1 - T`` with no log/exp at all.
+
+    Numerically *tighter* than the log-space packed path: the group
+    products are exact f32 (≤8 terms each ≥ 0.01), and the 1/8-density
+    log prefix uses f32-HIGHEST matmuls instead of bf16.
+    """
+    P = tile * tile  # noqa: N806
+    G = chunk // 8  # noqa: N806 — sublane groups per chunk
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    n_chunks = tile_chunks_ref[t]
+    ox = ((t % tiles_x) * tile).astype(jnp.float32)
+    oy = ((t // tiles_x) * tile).astype(jnp.float32)
+
+    basis = _pixel_basis(tile)
+    ones_p = jnp.ones((1, P), jnp.float32)
+    gsel = _group_select(G, chunk)
+    grep = _group_repeat(chunk, G)
+    tri_g = _tri_strict(G)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) % 8
+
+    def chunk_dma(slot, c):
+        off = pl.multiple_of(start + c * chunk, chunk)
+        return pltpu.make_async_copy(
+            feat_ref.at[:, pl.ds(off, chunk)],
+            fbuf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def cond(state):
+        c, T, done, acc = state
+        return (c < n_chunks) & (jnp.min(done) < 0.5)
+
+    def body(state):
+        c, T, done, acc = state
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            chunk_dma(1 - slot, c + 1).start()
+
+        chunk_dma(slot, c).wait()
+        f = fbuf[slot]
+
+        if packed6:
+            ca, cb = _unpack_bf16_pair(f[2:3])
+            cc, lop = _unpack_bf16_pair(f[3:4])
+            f_alpha = jnp.concatenate([f[0:2], ca, cb, cc, lop], axis=0)
+        else:
+            f_alpha = f
+        alpha, _, _ = _chunk_alpha(f_alpha, basis, ones_p, ox, oy)
+        om = 1.0 - alpha  # in [0.01, 1]
+
+        # segmented shift-multiply scan: inclusive cumprod within each
+        # 8-row group (circular wrap is masked off by the row%8 tests)
+        x = om
+        x = x * jnp.where(rows >= 1, jnp.roll(x, 1, axis=0), 1.0)
+        x = x * jnp.where(rows >= 2, jnp.roll(x, 2, axis=0), 1.0)
+        cp = x * jnp.where(rows >= 4, jnp.roll(x, 4, axis=0), 1.0)
+        excl = jnp.where(rows >= 1, jnp.roll(cp, 1, axis=0), 1.0)
+
+        gp = _mm_f32(gsel, cp)  # (G, P) inclusive group products
+        lgp = jnp.log(gp)  # >= 8·log(0.01): no underflow
+        pre = _mm_f32(tri_g, lgp)  # exclusive prefix across groups
+        t_base = jnp.exp(pre) * T  # (G, P); T (1, P) broadcasts
+        t_exc = _mm_f32(grep, t_base) * excl  # T before each duplicate
+        t_after = t_exc * om
+        cond_f = (t_after < T_EPS) | (done > 0.5)
+        w = jnp.where(cond_f, 0.0, alpha) * t_exc
+
+        if packed6:
+            r_row, g_row = _unpack_bf16_pair(f[4:5])
+            b_row, d_row = _unpack_bf16_pair(f[5:6])
+            rgbd = jnp.concatenate([r_row, g_row, b_row, d_row], axis=0)
+        elif packed:
+            r_row, g_row = _unpack_bf16_pair(f[6:7])
+            b_row, d_row = _unpack_bf16_pair(f[7:8])
+            rgbd = jnp.concatenate([r_row, g_row, b_row, d_row], axis=0)
+        else:
+            rgbd = f[6:10]
+        prec = (
+            jax.lax.Precision.DEFAULT
+            if packed
+            else jax.lax.Precision.HIGHEST
+        )
+        contrib = jax.lax.dot_general(
+            rgbd, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (4, P)
+        acc = acc + jnp.concatenate(
+            [contrib, jnp.zeros((OUT_ROWS - 4, P), jnp.float32)], axis=0
+        )
+
+        # T freezes at its value just before the first frozen duplicate
+        # (monotone decrease => masked max); otherwise the full product
+        frozen = jnp.max(
+            jnp.where(cond_f, t_exc, 0.0), axis=0, keepdims=True
+        )
+        t_end = (
+            jax.lax.slice_in_dim(t_base, G - 1, G, axis=0)
+            * jax.lax.slice_in_dim(gp, G - 1, G, axis=0)
+        )
+        T_new = jnp.maximum(t_end, frozen)
+        done_new = jnp.maximum(
+            done,
+            jnp.max(cond_f.astype(jnp.float32), axis=0, keepdims=True),
+        )
+        return c + 1, T_new, done_new, acc
+
+    init = (
+        jnp.int32(0),
+        jnp.ones((1, P), jnp.float32),
+        jnp.zeros((1, P), jnp.float32),
+        jnp.zeros((OUT_ROWS, P), jnp.float32),
+    )
+    c_fin, T, _, acc = jax.lax.while_loop(cond, body, init)
+
+    @pl.when(c_fin < n_chunks)
+    def _():
+        chunk_dma(jax.lax.rem(c_fin, 2), c_fin).wait()
+
+    alpha_row = 1.0 - T
+    row = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, 1), 0)
+    out_ref[0] = jnp.where(row == 4, alpha_row, acc)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _blend_core(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
                 chunk):
@@ -277,7 +468,14 @@ def _blend_core(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
 
 
 def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
-                    chunk):
+                    chunk, algo: str | None = None):
+    if algo is None:
+        import os
+
+        # packed inference defaults to the chunk-freeze fast kernel;
+        # the f32/training path keeps exact CUDA freeze semantics
+        default = "fast" if feat.shape[0] in (FEAT8, FEAT6) else "log"
+        algo = os.environ.get("AUTOVFX_BLEND_ALGO", default)
     P = tile * tile  # noqa: N806
     feat_rows = feat.shape[0]
     packed = feat_rows == FEAT8
@@ -304,9 +502,15 @@ def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    if algo == "linear":
+        kernel = functools.partial(_fwd_kernel_v3)
+    else:
+        kernel = functools.partial(
+            _fwd_kernel, exact_freeze=algo != "fast"
+        )
     return pl.pallas_call(
         functools.partial(
-            _fwd_kernel, tiles_x=tiles_x, tile=tile, chunk=chunk,
+            kernel, tiles_x=tiles_x, tile=tile, chunk=chunk,
             packed=packed or packed6, packed6=packed6,
         ),
         out_shape=jax.ShapeDtypeStruct(

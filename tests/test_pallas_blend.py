@@ -69,6 +69,91 @@ class TestForwardParity:
         )
 
 
+class TestLinearForwardParity:
+    """The v3 linear-space transmittance kernel vs the reference blend
+    and vs the legacy log-space kernel (both algos stay available)."""
+
+    def _run(self, algo, binned, feat, tile=16, chunk=256):
+        n_tiles = binned.num_tiles_x * binned.num_tiles_y
+        return blend_pallas._blend_fwd_call(
+            feat, binned.tile_start, binned.tile_chunks,
+            n_tiles, binned.num_tiles_x, tile, chunk, algo=algo,
+        )
+
+    def test_linear_matches_ref(self):
+        g, cam = make_scene(n=200, width=64, height=48, key=0)
+        binned, feat = gather_args(g, cam)
+        t_ref = blend_ref.blend_tiles_ref_from_feat(binned, feat)
+        out = self._run("linear", binned, feat)
+        np.testing.assert_allclose(
+            np.asarray(jnp.moveaxis(out[:, 0:3, :], 1, 2)),
+            np.asarray(t_ref.color), atol=3e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[:, 4]), np.asarray(t_ref.alpha), atol=3e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[:, 3]), np.asarray(t_ref.depth), atol=3e-4
+        )
+
+    def test_linear_matches_log_saturated(self):
+        n = 50
+        g, cam = make_scene(n=n, width=32, height=32, key=3)
+        g = g.replace(
+            xyz=0.05 * jax.random.normal(jax.random.PRNGKey(3), (n, 3)),
+            opacity_logit=jnp.full((n,), 5.0),
+            log_scales=jnp.full((n, 3), np.log(0.3)),
+        )
+        binned, feat = gather_args(g, cam)
+        t_ref = blend_ref.blend_tiles_ref_from_feat(binned, feat)
+        out = self._run("linear", binned, feat)
+        assert float(jnp.max(t_ref.alpha)) > 0.999
+        np.testing.assert_allclose(
+            np.asarray(out[:, 4]), np.asarray(t_ref.alpha), atol=5e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(jnp.moveaxis(out[:, 0:3, :], 1, 2)),
+            np.asarray(t_ref.color), atol=5e-5,
+        )
+
+    def test_linear_packed8(self):
+        g, cam = make_scene(n=200, width=64, height=48, key=0)
+        splats = projection.preprocess(g, cam)
+        binned = binning.bin_splats(splats, cam.width, cam.height, 1 << 14)
+        f16 = blend_pallas.pack_gaussian_features(splats)
+        f8 = blend_pallas.pack_gaussian_features_8(splats)
+        out_full = self._run("linear", binned, f16[:, binned.gid])
+        out_pack = self._run("linear", binned, f8[:, binned.gid])
+        np.testing.assert_allclose(
+            np.asarray(out_pack[:, 4]), np.asarray(out_full[:, 4]),
+            atol=3e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_pack[:, 0:3]), np.asarray(out_full[:, 0:3]),
+            atol=1.5e-2,
+        )
+
+    def test_linear_chunk128(self):
+        g, cam = make_scene(n=200, width=64, height=64, key=2)
+        splats = projection.preprocess(g, cam, tile=32)
+        binned = binning.bin_splats(
+            splats, cam.width, cam.height, 1 << 14, tile=32, chunk=128
+        )
+        feat = blend_pallas.pack_gaussian_features(splats)[:, binned.gid]
+        t_ref = blend_ref.blend_tiles_ref_from_feat(binned, feat, tile=32)
+        out = self._run("linear", binned, feat, tile=32, chunk=128)
+        # deeper 32px tiles: the linear product accumulation and ref's
+        # log1p chain disagree by ~1e-4 (both are f32 orderings of the
+        # same f64 quantity; 1/255 display quantum is 3.9e-3)
+        np.testing.assert_allclose(
+            np.asarray(out[:, 4]), np.asarray(t_ref.alpha), atol=3e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(jnp.moveaxis(out[:, 0:3, :], 1, 2)),
+            np.asarray(t_ref.color), atol=3e-4,
+        )
+
+
 class TestBackwardParity:
     def _grads(self, blend_fn, binned, feat, seed=7):
         tgt_c = jax.random.uniform(
