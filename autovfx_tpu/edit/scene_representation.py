@@ -109,6 +109,8 @@ class SceneRepresentation:
         self._surfel_cache: Dict[str, dict] = {}
         self._env = None
         self._env_sh = None
+        self._env_ggx = None
+        self._mirror_tris = None
         self.rb_transform: Optional[Dict] = None
 
         if hparams.gaussians_ckpt_path:
@@ -192,6 +194,9 @@ class SceneRepresentation:
             env_world = (1.2 - 0.8 * v) * np.ones((h, w, 3), np.float32)
         self._env = jnp.asarray(env_world.astype(np.float32))
         self._env_sh = jnp.asarray(RIBL.envmap_sh9(np.asarray(env_world)))
+        self._env_ggx = jnp.asarray(
+            RIBL.prefilter_envmap_ggx(np.asarray(env_world))
+        )
 
     def get_sunlight_direction(self) -> np.ndarray:
         self.render_global_env_map()
@@ -203,6 +208,64 @@ class SceneRepresentation:
         if path not in self._mesh_cache:
             self._mesh_cache[path] = mesh_io.load_mesh(path)
         return self._mesh_cache[path]
+
+    def _mirror_scene_tris(self, max_faces: int = 30_000):
+        """Scene mesh (decimated) as ray-cast targets for mirror bounces.
+
+        Cached; per-face albedo from vertex colors (0.5 gray fallback).
+        The Cycles mirror path-traces the full scene
+        (all_rendering.py:1019-1062); one decimated bounce is the
+        real-time analog.
+        """
+        if self._mirror_tris is not None:
+            return self._mirror_tris
+        path = self.scene_mesh_path_for_blender
+        if not path or not os.path.exists(path):
+            return None
+        mesh = self._load_mesh(path)
+        v, f = np.asarray(mesh.vertices), np.asarray(mesh.faces)
+        vc = mesh.vertex_colors
+        if len(f) > max_faces:
+            from autovfx_tpu.sugar.decimate import decimate_quadric
+
+            v2, f2 = decimate_quadric(
+                np.asarray(v, np.float64), f, max_faces // 2
+            )
+            if vc is not None and len(v2):
+                # nearest-original-vertex color transfer (chunked host
+                # NN on a subsample — mirror-bounce albedo is low-freq)
+                vc = np.asarray(vc, np.float32)
+                src_v = np.asarray(v, np.float32)
+                if len(src_v) > 100_000:
+                    sel = np.linspace(
+                        0, len(src_v) - 1, 100_000
+                    ).astype(np.int64)
+                    src_v, vc = src_v[sel], vc[sel]
+                sq_s = (src_v * src_v).sum(-1)
+                out = np.empty((len(v2), 3), np.float32)
+                v2f = np.asarray(v2, np.float32)
+                for s in range(0, len(v2f), 1024):
+                    q = v2f[s : s + 1024]
+                    d2 = (
+                        (q * q).sum(-1)[:, None]
+                        - 2.0 * q @ src_v.T
+                        + sq_s[None, :]
+                    )
+                    out[s : s + 1024] = vc[np.argmin(d2, axis=1)]
+                vc = out
+            v, f = v2, f2
+        if vc is None:
+            fcol = np.full((len(f), 3), 0.5, np.float32)
+        else:
+            fcol = np.asarray(vc, np.float32)[f].mean(1)
+        va = np.asarray(v, np.float32)
+        self._mirror_tris = (
+            jnp.asarray(va[f[:, 0]]),
+            jnp.asarray(va[f[:, 1]]),
+            jnp.asarray(va[f[:, 2]]),
+            jnp.asarray(fcol),
+        )
+        return self._mirror_tris
 
     def _object_surfels(self, obj: Dict, num_samples: int = 60_000) -> dict:
         path = obj["object_path"]
@@ -712,6 +775,9 @@ class SceneRepresentation:
             # texture-baked surfels already consumed rgb as a hue shift
             if surf.get("material_baked"):
                 base = None
+            mirror_scene = (
+                self._mirror_scene_tris() if mat.get("is_mirror") else None
+            )
             gs.append(
                 RMS.shaded_object_gaussians(
                     surf,
@@ -719,13 +785,19 @@ class SceneRepresentation:
                     self._env_sh,
                     cam.center,
                     base_color=None if base is None else jnp.asarray(base),
-                    roughness=float(mat.get("roughness", 0.5)),
+                    roughness=float(
+                        mat.get("roughness", 0.5)
+                        if not mat.get("is_mirror")
+                        else 0.0
+                    ),
                     metallic=float(
                         mat.get("metallic", 0.0)
                         if not mat.get("is_mirror")
                         else 1.0
                     ),
                     transform=transform,
+                    env_ggx=self._env_ggx,
+                    mirror_scene=mirror_scene,
                 )
             )
         if not gs:

@@ -140,11 +140,17 @@ def shaded_object_gaussians(
     roughness: float = 0.5,
     metallic: float = 0.0,
     transform: Optional[tuple] = None,
+    env_ggx: Optional[jax.Array] = None,
+    mirror_scene: Optional[tuple] = None,
 ) -> Gaussians:
     """Apply (scale, R, t) transform, IBL-shade, return surfel Gaussians.
 
     transform: (scale (float), rot (3,3), translation (3,)) applied as
     world = R @ (scale · p) + t (the rb_transform convention).
+    env_ggx: prefiltered GGX radiance stack (ibl.prefilter_envmap_ggx).
+    mirror_scene: (tri_a, tri_b, tri_c, tri_color) of the (decimated)
+    scene mesh — when given and the material is a mirror, reflection
+    rays return scene content (ibl.mirror_scene_reflection).
     """
     from autovfx_tpu.render import ibl
 
@@ -170,8 +176,18 @@ def shaded_object_gaussians(
     # overrides the scalar default
     if "roughness" in surfels:
         roughness = jnp.asarray(surfels["roughness"])[:, None]
+    scene_spec = scene_mask = None
+    if mirror_scene is not None:
+        ta, tb, tc, tcol = mirror_scene
+        ndv = jnp.maximum(jnp.sum(nrm_s * (-view), axis=-1, keepdims=True), 0.0)
+        refl = 2.0 * ndv * nrm_s + view
+        scene_spec, hit = ibl.mirror_scene_reflection(
+            pts, refl, ta, tb, tc, tcol, env_sh
+        )
+        scene_mask = hit[:, None]
     shaded = ibl.shade(
         nrm_s, view, env, env_sh, albedo, roughness=roughness,
-        metallic=metallic,
+        metallic=metallic, env_ggx=env_ggx,
+        scene_spec=scene_spec, scene_spec_mask=scene_mask,
     )
     return surfels_to_gaussians(pts, nrm_s, shaded, radius)
