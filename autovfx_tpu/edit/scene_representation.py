@@ -111,6 +111,7 @@ class SceneRepresentation:
         self._env_sh = None
         self._env_ggx = None
         self._mirror_tris = None
+        self._melt_sims: Dict[str, tuple] = {}
         self.rb_transform: Optional[Dict] = None
 
         if hparams.gaussians_ckpt_path:
@@ -648,6 +649,66 @@ class SceneRepresentation:
             )
         return melt_p, burn_p
 
+    def _static_transform(self, obj: Dict):
+        """(scale, R (3,3) np, t (3,) np) of the object's rest pose
+        (rb_transform frame 0 if simulated, else the placement fields).
+        Melting objects are solved in world space from this pose."""
+        tr = (
+            self.rb_transform.get(obj["object_id"], {}).get("0")
+            if self.rb_transform
+            else None
+        )
+        if tr is not None:
+            from autovfx_tpu.core.quaternion import euler_to_rotmat
+
+            rot = np.asarray(
+                euler_to_rotmat(*[jnp.float32(x) for x in tr["rot"]])
+            )
+            return float(tr["scale"][0]), rot, np.asarray(tr["pos"], np.float32)
+        return (
+            float(obj.get("scale", 1.0)),
+            np.asarray(obj.get("rot", np.eye(3)), np.float32),
+            np.asarray(obj.get("pos", np.zeros(3)), np.float32),
+        )
+
+    def _melt_liquid(self, obj: Dict, points: np.ndarray,
+                     normals: np.ndarray):
+        """Whole-clip thin-film liquid solve for a melting object
+        (cached per object).  ``points``/``normals`` are WORLD-space
+        samples (posed surfels or splat centers).  The scene mesh (when
+        present) becomes the solver bed so melt flows around geometry —
+        the Mantaflow LIQUID domain + effector analog
+        (all_rendering.py:1649-1817); per-frame tracers/meshes replace
+        the reference's melted-mesh exports (:2575-2585)."""
+        from autovfx_tpu.render import liquid as LQ
+
+        oid = obj["object_id"]
+        if oid in self._melt_sims:
+            return self._melt_sims[oid]
+        prog = np.array(
+            [
+                self._effect_progress(obj, f)[0]
+                for f in range(self.total_frames)
+            ],
+            np.float32,
+        )
+        cfg = LQ.LiquidConfig()
+        sim = LQ.MeltSim(points, normals, cfg=cfg)
+        path = self.scene_mesh_path_for_blender
+        if path and os.path.exists(path):
+            mesh = self._load_mesh(path)
+            bed = LQ.bed_from_mesh(
+                np.asarray(mesh.vertices), np.asarray(mesh.faces),
+                np.asarray(sim.origin), sim.extent, cfg.resolution,
+                ground_z=sim.ground_z,
+            )
+            sim = LQ.MeltSim(
+                points, normals, ground_z=sim.ground_z, bed=bed, cfg=cfg
+            )
+        frames = sim.run(prog)
+        self._melt_sims[oid] = (sim, frames)
+        return sim, frames
+
     def _merge_object_gaussians(self, g: Gaussians, frame_idx: int):
         """Merge 3DGS-extracted objects transformed by the per-frame
         rigid-body pose (scene_representation.py:357-371); melting /
@@ -664,8 +725,11 @@ class SceneRepresentation:
             if not gp or not os.path.exists(gp):
                 continue
             og = ply_io.load_gaussians(gp)
+            melt_p, burn_p = self._effect_progress(obj, frame_idx)
+            # melting objects stay at their rest pose — the liquid solve
+            # owns all motion after melt onset
             tr = self.rb_transform.get(obj["object_id"], {}).get(
-                str(frame_idx)
+                "0" if melt_p > 0.0 else str(frame_idx)
             )
             if tr is not None:
                 from autovfx_tpu.core.quaternion import (
@@ -681,9 +745,16 @@ class SceneRepresentation:
                     translation=jnp.asarray(tr["pos"], jnp.float32),
                     pivot=jnp.zeros(3),
                 )
-            melt_p, burn_p = self._effect_progress(obj, frame_idx)
             if melt_p > 0.0:
-                og = RMELT.melt_gaussians(og, melt_p)
+                from autovfx_tpu.render import liquid as LQ
+
+                act = np.asarray(og.active)
+                idx = np.nonzero(act)[0]
+                sim, mf = self._melt_liquid(
+                    obj, np.asarray(og.xyz)[idx], None
+                )
+                f = min(frame_idx, mf.tracer_pos.shape[0] - 1)
+                og = LQ.apply_melt_to_gaussians(og, idx, mf, f, sim.cell)
             if burn_p > 0.0:
                 og = RMELT.incinerate_gaussians(og, burn_p)
             merged = merge(merged, og)
@@ -729,28 +800,37 @@ class SceneRepresentation:
         for obj, surf in self._draw_list(frame_idx):
             surf = self._animate_surfels(surf, frame_idx)
             melt_p, burn_p = self._effect_progress(obj, frame_idx)
-            if melt_p > 0.0 or burn_p > 0.0:
-                pts, nrm, rscale = RMELT.melt_surfels(
-                    surf["points"], surf["normals"], melt_p
-                ) if melt_p > 0 else (
-                    surf["points"], surf["normals"], 1.0
-                )
-                cols = surf["colors"]
-                op_scale = 1.0
-                if burn_p > 0.0:
-                    cols, op_scale = RMELT.incinerate_colors(cols, burn_p)
+            liquid_pose = False
+            if melt_p > 0.0:
+                # liquid melt: surfels become tracers of the thin-film
+                # solve (world space; the solve owns the pose)
+                s0, R0, t0 = self._static_transform(obj)
+                base_pts = np.asarray(surf["points"], np.float32)
+                w_pts = (s0 * base_pts) @ R0.T + t0
+                w_nrm = np.asarray(surf["normals"], np.float32) @ R0.T
+                sim, mf = self._melt_liquid(obj, w_pts, w_nrm)
+                f = min(frame_idx, mf.tracer_pos.shape[0] - 1)
                 surf = dict(surf)
-                surf["points"] = pts
-                surf["normals"] = nrm
+                surf["points"] = np.asarray(mf.tracer_pos[f])
+                surf["normals"] = np.asarray(mf.tracer_norm[f])
+                # spreading tracers thin out: grow radii to keep cover
+                surf["radius"] = np.float32(
+                    surf["radius"] * float(s0) * (1.0 + 0.6 * melt_p)
+                )
+                liquid_pose = True
+            if burn_p > 0.0:
+                cols, op_scale = RMELT.incinerate_colors(
+                    surf["colors"], burn_p
+                )
+                surf = dict(surf)
                 surf["colors"] = cols
-                surf["radius"] = np.float32(surf["radius"] * rscale)
                 if op_scale <= 0.0:
                     continue  # fully burned away
             tr = (
                 self.rb_transform.get(obj["object_id"], {}).get(
                     str(frame_idx)
                 )
-                if self.rb_transform
+                if self.rb_transform and not liquid_pose
                 else None
             )
             if tr is not None:
@@ -763,6 +843,13 @@ class SceneRepresentation:
                     float(tr["scale"][0]),
                     jnp.asarray(rot),
                     jnp.asarray(tr["pos"], jnp.float32),
+                )
+            elif liquid_pose:
+                # tracers are already world-space
+                transform = (
+                    1.0,
+                    jnp.asarray(np.eye(3), jnp.float32),
+                    jnp.zeros(3, jnp.float32),
                 )
             else:
                 transform = (
@@ -929,6 +1016,43 @@ class SceneRepresentation:
             pos=jnp.asarray(pos[local]), quat=jnp.asarray(quat[local])
         )
         planes, masks = RSH.object_hulls_world(world.shape, state_f)
+        # melting objects: the physics hull stays full-size, but the
+        # material has collapsed into the liquid state — re-fit the hull
+        # to this frame's tracers (solid remnant + puddle), the
+        # per-frame-melted-mesh shadow analog (all_rendering.py:2575+)
+        melt_rows = []
+        for obj in self.inserted_objects:
+            m_p, _ = self._effect_progress(obj, frame_idx)
+            cached = self._melt_sims.get(obj["object_id"])
+            if m_p <= 0.0 or cached is None:
+                continue
+            oid = obj["object_id"]
+            if oid not in world.names:
+                continue
+            _, mf = cached
+            f = min(frame_idx, mf.tracer_pos.shape[0] - 1)
+            pts_t = np.asarray(mf.tracer_pos[f])
+            lo = pts_t.min(0) - 1e-3
+            hi = pts_t.max(0) + 1e-3
+            box = np.array(
+                [
+                    [1, 0, 0, hi[0]], [-1, 0, 0, -lo[0]],
+                    [0, 1, 0, hi[1]], [0, -1, 0, -lo[1]],
+                    [0, 0, 1, hi[2]], [0, 0, -1, -lo[2]],
+                ],
+                np.float32,
+            )
+            melt_rows.append((world.names.index(oid), box))
+        if melt_rows:
+            planes = np.array(planes)
+            masks = np.array(masks)
+            for b, box in melt_rows:
+                planes[b] = 0.0
+                masks[b] = False
+                planes[b, :6] = box
+                masks[b, :6] = True
+            planes = jnp.asarray(planes)
+            masks = jnp.asarray(masks)
         ratio = RSH.shadow_ratio_map(
             cam,
             jnp.asarray(bg_depth),

@@ -274,7 +274,13 @@ def bin_splats(
     # ---- the one stable sort (tile groups; depth order preserved) ------------
     tile_s, gid_s = jax.lax.sort((tile, gid), num_keys=1)
 
-    aligned_start = (jnp.cumsum(aligned_len) - aligned_len).astype(jnp.int32)
+    # on overflow the raw cumulative starts exceed the budget; clamp so
+    # downstream segment bases index real (truncated) rows — unclamped,
+    # blend_ref's exclusive-scan base lands on an unrelated row and
+    # w = 0·exp(+big) turns into NaN
+    aligned_start = jnp.minimum(
+        (jnp.cumsum(aligned_len) - aligned_len), k
+    ).astype(jnp.int32)
     max_chunks = jnp.maximum((k - jnp.minimum(aligned_start, k)) // CHUNK, 0)
     tile_chunks = jnp.minimum(tile_chunks_full, max_chunks)
     tile_count = jnp.minimum(tile_count, tile_chunks * CHUNK)

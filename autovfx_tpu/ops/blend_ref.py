@@ -88,7 +88,9 @@ def blend_tiles_ref(
         base = jnp.where(
             (starts > 0)[:, None], cum[jnp.maximum(starts - 1, 0)], 0.0
         )
-        return exc - base
+        # transmittance never exceeds 1 (guards overflow-truncated
+        # segment bases and f32 cumsum cancellation)
+        return jnp.minimum(exc - base, 0.0)
 
     lg = jnp.log1p(-alpha)
     log_t = seg_exclusive(lg)  # logT before each duplicate (raw)

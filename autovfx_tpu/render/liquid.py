@@ -42,7 +42,7 @@ import jax.numpy as jnp
 class LiquidConfig(NamedTuple):
     resolution: int = 64          # grid cells per axis
     viscosity: float = 2e-3       # kinematic-ish ν (reference: 2e-3)
-    substeps: int = 8             # solver substeps per frame
+    substeps: int = 16            # solver substeps per frame
     dt: float = 1.0 / 24.0        # frame time
     margin: float = 1.6           # domain half-extent / object radius
     min_depth: float = 1e-5       # dry-cell threshold
@@ -101,7 +101,12 @@ def _substep(h, bed, source, cell, cfg: LiquidConfig):
             deta = _grad_y(eta, inv_c)             # (R, R-1)
             h_lo, h_hi = h[:, :-1], h[:, 1:]
         h_up = jnp.where(deta > 0, h_hi, h_lo)     # donor depth
-        d = h_up**3 / (3.0 * cfg.viscosity)
+        # clamp the diffusivity at the explicit stability limit: above
+        # it the update oscillates and the (drain-)limited flux reverses
+        # every substep, throttling the spread and piling fluid at the
+        # source instead of flattening it
+        d_stab = 0.9 * cell * cell / (4.0 * dt)
+        d = jnp.minimum(h_up**3 / (3.0 * cfg.viscosity), d_stab)
         flux = d * deta                            # volume/length/time
         # limiter: a face may not drain more than donor's share of depth
         cap = h_up * cell / (4.0 * dt)
@@ -363,3 +368,34 @@ def bed_from_mesh(
     z_hit = z_top - np.asarray(t)
     z_hit = np.where(np.asarray(hit), z_hit, ground_z)
     return (z_hit - ground_z).reshape(r, r).astype(np.float32)
+
+
+def apply_melt_to_gaussians(g, idx: np.ndarray, frames: MeltFrames,
+                            f: int, cell: float):
+    """Re-associate a 3DGS-extracted object's splats to the liquid
+    state at frame ``f`` (reference: match_gaussians_to_mesh against the
+    per-frame melted mesh, scene_representation.py:372-421).
+
+    ``idx``: row indices of this object's (active) splats in ``g``; the
+    MeltSim must have been built on ``g.xyz[idx]`` in the same order.
+    Melted splats move with their tracers and flatten into the film
+    (z-scale ~ half a grid cell); unmelted splats ride the shrinking
+    solid.
+    """
+    pos = frames.tracer_pos[f]          # (P, 3)
+    fluid = frames.tracer_fluid[f]      # (P,)
+    xyz = g.xyz.at[jnp.asarray(idx)].set(pos)
+    sc = g.log_scales[jnp.asarray(idx)]
+    film_z = jnp.log(jnp.float32(max(cell * 0.4, 1e-5)))
+    sc_melt = jnp.stack(
+        [sc[:, 0], sc[:, 1], jnp.minimum(sc[:, 2], film_z)], axis=-1
+    )
+    sc_new = jnp.where(fluid[:, None] > 0.5, sc_melt, sc)
+    log_scales = g.log_scales.at[jnp.asarray(idx)].set(sc_new)
+    # melted splats lie in the film plane: snap orientation to identity
+    quat_id = jnp.zeros_like(g.quats[jnp.asarray(idx)]).at[:, 0].set(1.0)
+    q = jnp.where(
+        fluid[:, None] > 0.5, quat_id, g.quats[jnp.asarray(idx)]
+    )
+    quats = g.quats.at[jnp.asarray(idx)].set(q)
+    return g.replace(xyz=xyz, log_scales=log_scales, quats=quats)
