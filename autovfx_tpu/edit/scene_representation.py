@@ -649,6 +649,30 @@ class SceneRepresentation:
             )
         return melt_p, burn_p
 
+    def _fire_burn_progress(self, obj: Dict, frame_idx: int) -> float:
+        """Burn-to-black factor: the reference keyframes the burning
+        object's base color to (0.1, 0.1, 0.1) linearly over the fire
+        window (all_rendering.py:1352-1388)."""
+        from autovfx_tpu.render import melt as RMELT
+
+        oid = obj["object_id"]
+        p = 0.0
+        for ev in self.events:
+            if ev["object_id"] == oid and ev["event_type"] == "fire":
+                p = max(
+                    p,
+                    RMELT.effect_progress(
+                        frame_idx, int(ev.get("start_frame") or 1),
+                        ev.get("end_frame"), self.total_frames,
+                    ),
+                )
+        if p == 0.0 and oid in self.fire_objects and not any(
+            ev["object_id"] == oid and ev["event_type"] == "fire"
+            for ev in self.events
+        ):
+            p = RMELT.effect_progress(frame_idx, 1, None, self.total_frames)
+        return p
+
     def _static_transform(self, obj: Dict):
         """(scale, R (3,3) np, t (3,) np) of the object's rest pose
         (rb_transform frame 0 if simulated, else the placement fields).
@@ -826,6 +850,14 @@ class SceneRepresentation:
                 surf["colors"] = cols
                 if op_scale <= 0.0:
                     continue  # fully burned away
+            fire_p = self._fire_burn_progress(obj, frame_idx)
+            if fire_p > 0.0:
+                # burn-to-black keyframe mix (all_rendering.py:1352+)
+                surf = dict(surf)
+                surf["colors"] = (
+                    np.asarray(surf["colors"], np.float32) * (1.0 - fire_p)
+                    + 0.1 * fire_p
+                )
             tr = (
                 self.rb_transform.get(obj["object_id"], {}).get(
                     str(frame_idx)
@@ -941,6 +973,7 @@ class SceneRepresentation:
             resolution=48,
             dt=1.0 / self.fps,
             with_fire=bool(self.fire_objects),
+            dissolve_speed=30,  # reference all_rendering.py:1277
         )
         mask = jnp.zeros((cfg.resolution,) * 3)
         for o in emitters:
@@ -978,7 +1011,9 @@ class SceneRepresentation:
         from autovfx_tpu.render import smoke as SM
 
         g_smoke = SM.smoke_to_gaussians(
-            states.density[frame_idx],
+            SM.apply_density_noise(
+                states.density[frame_idx], frame_idx, cfg
+            ),
             states.temperature[frame_idx],
             origin,
             extent,

@@ -33,10 +33,21 @@ class SmokeConfig(NamedTuple):
     temperature_diff: float = 0.92
     inflow_density: float = 0.9
     inflow_temperature: float = 1.0
-    vorticity: float = 0.0
+    # vorticity confinement (on by default — coarse-grid advection
+    # damps the swirl Mantaflow keeps; all_rendering.py:1253 noise+swirl)
+    vorticity: float = 2.0
     jacobi_iters: int = 20
     dt: float = 1.0 / 15.0
     with_fire: bool = False
+    # display-time wavelet-ish noise (the Mantaflow "use_noise" up-res,
+    # all_rendering.py:1250-1257): octaves of value noise modulate the
+    # rendered density field
+    noise_octaves: int = 2
+    noise_strength: float = 0.7
+    noise_scale: float = 0.22   # lattice period as a fraction of R
+    # Blender dissolve (smoke_domain.use_dissolve_smoke, :1258-1260):
+    # density fades out over ``dissolve_speed`` frames; 0 = off
+    dissolve_speed: int = 0
 
 
 class SmokeState(NamedTuple):
@@ -99,12 +110,49 @@ def step(state: SmokeState, inflow_mask: jax.Array, cfg: SmokeConfig):
     temp = _sample(state.temperature, back) * cfg.temperature_diff
     vel = _sample(state.velocity, back)
 
+    # Blender-style dissolve: linear fade over dissolve_speed frames
+    if cfg.dissolve_speed > 0:
+        density = jnp.maximum(
+            density - cfg.inflow_density / cfg.dissolve_speed, 0.0
+        )
+
     # inflow (keyframed fuel region, all_rendering.py:1310-1360)
     density = jnp.maximum(density, inflow_mask * cfg.inflow_density)
     temp = jnp.maximum(temp, inflow_mask * cfg.inflow_temperature)
 
     # buoyancy along +z
     vel = vel.at[..., 2].add(cfg.dt * cfg.buoyancy * temp)
+
+    # vorticity confinement (Fedkiw et al.): re-inject the swirl the
+    # coarse semi-Lagrangian advection dissipates
+    if cfg.vorticity > 0.0:
+        def curl(v):
+            dwy = jnp.gradient(v[..., 2], axis=1) - jnp.gradient(
+                v[..., 1], axis=2
+            )
+            dwz = jnp.gradient(v[..., 0], axis=2) - jnp.gradient(
+                v[..., 2], axis=0
+            )
+            dwx = jnp.gradient(v[..., 1], axis=0) - jnp.gradient(
+                v[..., 0], axis=1
+            )
+            return jnp.stack([dwy, dwz, dwx], axis=-1)
+
+        w = curl(vel)
+        wmag = jnp.linalg.norm(w, axis=-1)
+        eta = jnp.stack(
+            [
+                jnp.gradient(wmag, axis=0),
+                jnp.gradient(wmag, axis=1),
+                jnp.gradient(wmag, axis=2),
+            ],
+            axis=-1,
+        )
+        n_eta = eta / jnp.maximum(
+            jnp.linalg.norm(eta, axis=-1, keepdims=True), 1e-6
+        )
+        f_conf = jnp.cross(n_eta, w)  # N̂ × ω
+        vel = vel + cfg.dt * cfg.vorticity * f_conf
 
     # incompressibility: Jacobi pressure solve on divergence
     def div(v):
@@ -166,6 +214,68 @@ def simulate_smoke(
         return traj
 
     return run(init_state(cfg))
+
+
+def _lattice_hash(ix, iy, iz, seed):
+    """Deterministic int32 lattice hash -> [0, 1) floats (jit-friendly)."""
+    h = (
+        ix * jnp.int32(374761393)
+        + iy * jnp.int32(668265263)
+        + iz * jnp.int32(1442695041)
+        + jnp.int32(seed) * jnp.int32(974711)
+    )
+    h = jnp.bitwise_xor(h, h >> 13) * jnp.int32(1274126177)
+    h = jnp.bitwise_xor(h, h >> 16)
+    return (jnp.bitwise_and(h, 0xFFFF).astype(jnp.float32)) / 65535.0
+
+
+def value_noise3(coords: jax.Array, period: float, seed: int) -> jax.Array:
+    """Trilinear value noise in [0, 1] at (..., 3) grid coords."""
+    p = coords / period
+    i0 = jnp.floor(p).astype(jnp.int32)
+    f = p - i0
+    f = f * f * (3.0 - 2.0 * f)  # smoothstep fade
+
+    def at(dx, dy, dz):
+        return _lattice_hash(
+            i0[..., 0] + dx, i0[..., 1] + dy, i0[..., 2] + dz, seed
+        )
+
+    c00 = at(0, 0, 0) * (1 - f[..., 0]) + at(1, 0, 0) * f[..., 0]
+    c10 = at(0, 1, 0) * (1 - f[..., 0]) + at(1, 1, 0) * f[..., 0]
+    c01 = at(0, 0, 1) * (1 - f[..., 0]) + at(1, 0, 1) * f[..., 0]
+    c11 = at(0, 1, 1) * (1 - f[..., 0]) + at(1, 1, 1) * f[..., 0]
+    c0 = c00 * (1 - f[..., 1]) + c10 * f[..., 1]
+    c1 = c01 * (1 - f[..., 1]) + c11 * f[..., 1]
+    return c0 * (1 - f[..., 2]) + c1 * f[..., 2]
+
+
+def apply_density_noise(
+    density: jax.Array, frame_idx, cfg: SmokeConfig
+) -> jax.Array:
+    """Display-time noise octaves on the density field (the Mantaflow
+    wavelet-noise up-res analog, all_rendering.py:1250-1257): each
+    octave halves the period and amplitude; the field scrolls upward
+    with time so the detail advects with the plume."""
+    if cfg.noise_octaves <= 0 or cfg.noise_strength <= 0.0:
+        return density
+    r = density.shape[0]
+    coords = _grid_coords(r)
+    # scroll against buoyant motion (cells/frame)
+    drift = jnp.asarray(frame_idx, jnp.float32) * 0.35
+    coords = coords.at[..., 2].add(-drift)
+    n = jnp.zeros_like(density)
+    amp_sum = 0.0
+    period = cfg.noise_scale * r
+    amp = 1.0
+    for o in range(cfg.noise_octaves):
+        n = n + amp * value_noise3(coords, period, seed=17 + o)
+        amp_sum += amp
+        amp *= 0.5
+        period *= 0.5
+    n = n / amp_sum  # [0, 1]
+    mod = 1.0 + cfg.noise_strength * (2.0 * n - 1.0)
+    return density * jnp.maximum(mod, 0.0)
 
 
 def sphere_inflow(cfg: SmokeConfig, center_cell, radius_cells) -> jax.Array:
