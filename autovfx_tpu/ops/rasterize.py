@@ -228,12 +228,22 @@ def rasterize_rows_pair(
     bg: jax.Array | None = None,
     config: RasterConfig = RasterConfig(),
 ) -> RenderOutput:
-    """Merged render of two scene-rows layouts (e.g. static background
-    + per-frame object splats) WITHOUT concatenating the row arrays:
-    each runs the fused preprocess kernel separately and only the small
-    per-splat outputs are concatenated — avoids copying the ~240 MB
-    background layout every frame (the scene-rows concat costs more
-    than the object pass it feeds)."""
+    """Merged render of two scene-rows layouts (see rasterize_rows_multi)."""
+    return rasterize_rows_multi([rows_a, rows_b], cam, bg=bg, config=config)
+
+
+def rasterize_rows_multi(
+    rows_list: list,
+    cam: Camera,
+    bg: jax.Array | None = None,
+    config: RasterConfig = RasterConfig(),
+) -> RenderOutput:
+    """Merged render of N scene-rows layouts (e.g. static background +
+    per-frame object splats + per-frame smoke volume) WITHOUT
+    concatenating the row arrays: each runs the fused preprocess kernel
+    separately and only the small per-splat outputs are concatenated —
+    avoids copying the ~240 MB background layout every frame (the
+    scene-rows concat costs more than the object pass it feeds)."""
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
     from autovfx_tpu.ops import blend_pallas
@@ -241,7 +251,7 @@ def rasterize_rows_pair(
 
     feat_rows = 6 if config.feature_pack == "bf16x" else 8
     parts = []
-    for rows in (rows_a, rows_b):
+    for rows in rows_list:
         n_pad = rows.shape[1] * 128
         parts.append(
             PP.preprocess_packed(
@@ -252,8 +262,8 @@ def rasterize_rows_pair(
         )
     feat_g = jnp.concatenate([p.feat for p in parts], axis=1)
     splats = jax.tree_util.tree_map(
-        lambda a, b: jnp.concatenate([a, b], axis=0),
-        parts[0].splats, parts[1].splats,
+        lambda *xs: jnp.concatenate(xs, axis=0),
+        *[p.splats for p in parts],
     )
     binned = binning.bin_splats(
         splats, cam.width, cam.height, config.dup_budget,

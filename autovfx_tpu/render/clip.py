@@ -57,6 +57,19 @@ class ClipInputs(NamedTuple):
     # optional: static field-major scene rows of ``bg`` for the fused
     # single-pass path (preprocess_pallas.pack_scene_rows)
     bg_rows: jax.Array | None = None
+    # optional smoke/fire volume (whole-clip solver output): smoke
+    # splats join the merged pass, fire renders separately and ADDS
+    # premultiplied (blend_all.py:294-302)
+    smoke_density: jax.Array | None = None  # (F, R, R, R)
+    smoke_temp: jax.Array | None = None     # (F, R, R, R)
+    smoke_origin: jax.Array | None = None   # (3,)
+    smoke_extent: jax.Array | None = None   # () f32
+    # optional liquid-melt tracer override: surfels with melt_mask take
+    # their WORLD pose from melt_pos/melt_norm[frame] instead of the
+    # rigid trajectory (render/liquid.py tracers)
+    melt_pos: jax.Array | None = None       # (F, S, 3)
+    melt_norm: jax.Array | None = None      # (F, S, 3)
+    melt_mask: jax.Array | None = None      # (S,) bool
 
 
 def build_clip_inputs(
@@ -70,6 +83,8 @@ def build_clip_inputs(
     env: np.ndarray,
     num_lights: int = 32,
     pack_rows: bool = False,
+    smoke_traj: tuple | None = None,
+    melt: dict | None = None,
 ) -> ClipInputs:
     """Host-side assembly (surfels: per-object dicts from
     meshsplat.sample_mesh_surfels, aligned with objects/trajectories)."""
@@ -119,7 +134,25 @@ def build_clip_inputs(
         from autovfx_tpu.ops import preprocess_pallas as PP
 
         bg_rows = jax.jit(PP.pack_scene_rows)(bg)
+    smoke_kw = {}
+    if smoke_traj is not None:
+        states, s_origin, s_extent, _s_cfg = smoke_traj
+        smoke_kw = dict(
+            smoke_density=jnp.asarray(states.density),
+            smoke_temp=jnp.asarray(states.temperature),
+            smoke_origin=jnp.asarray(s_origin, jnp.float32),
+            smoke_extent=jnp.asarray(s_extent, jnp.float32),
+        )
+    melt_kw = {}
+    if melt is not None:
+        melt_kw = dict(
+            melt_pos=jnp.asarray(melt["pos"], jnp.float32),
+            melt_norm=jnp.asarray(melt["norm"], jnp.float32),
+            melt_mask=jnp.asarray(melt["mask"], bool),
+        )
     return ClipInputs(
+        **smoke_kw,
+        **melt_kw,
         bg=bg,
         bg_rows=bg_rows,
         cams=cams,
@@ -180,6 +213,11 @@ def shaded_object_gaussians(
         ],
         axis=-1,
     )
+    if inp.melt_pos is not None:
+        # liquid-melt tracers own the world pose of melting surfels
+        m = inp.melt_mask[:, None]
+        p_world = jnp.where(m, inp.melt_pos[frame_idx], p_world)
+        n_world = jnp.where(m, inp.melt_norm[frame_idx], n_world)
     view = p_world - cam.center[None]
     view = view / jnp.maximum(
         jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-12
@@ -288,13 +326,24 @@ def render_edited_frame_fused(
     Pallas bf16 backend.
     """
     from autovfx_tpu.ops import preprocess_pallas as PP
-    from autovfx_tpu.ops.rasterize import rasterize_rows_pair
+    from autovfx_tpu.ops.rasterize import rasterize, rasterize_rows_multi
 
     cam = index_camera(inp.cams, frame_idx)
 
     g_obj = shaded_object_gaussians(inp, frame_idx, cam)
-    obj_rows = PP.pack_scene_rows(g_obj)
-    out = rasterize_rows_pair(inp.bg_rows, obj_rows, cam, config=config)
+    rows_list = [inp.bg_rows, PP.pack_scene_rows(g_obj)]
+    g_fire = None
+    if inp.smoke_density is not None:
+        from autovfx_tpu.render import smoke as SMK
+
+        g_smoke, g_fire = SMK.smoke_fire_gaussians(
+            inp.smoke_density[frame_idx],
+            inp.smoke_temp[frame_idx],
+            inp.smoke_origin,
+            inp.smoke_extent,
+        )
+        rows_list.append(PP.pack_scene_rows(g_smoke))
+    out = rasterize_rows_multi(rows_list, cam, config=config)
 
     alpha = jnp.clip(out.alpha, 0.0, 1.0)
     scene_depth = out.depth / jnp.maximum(alpha, 1e-6)
@@ -325,7 +374,21 @@ def render_edited_frame_fused(
     is_shadow = jnp.abs(ratio - 1.0) >= 0.01
     mult = 1.0 - (1.0 - ratio) * (1.0 - w_obj) * alpha
     mult = jnp.where(is_shadow, mult, 1.0)
-    return jnp.clip(out.color * mult[..., None], 0.0, 1.0)
+    frame = out.color * mult[..., None]
+    if g_fire is not None:
+        # additive premultiplied fire pass (blend_all.py:294-302); the
+        # emissive splats rasterize alone so occlusion by the merged
+        # surface uses their own alpha, then C += fire premult
+        fire_out = rasterize(
+            g_fire, cam,
+            config=config.replace(
+                dup_budget=min(config.dup_budget, 1 << 18)
+            ),
+        )
+        frame = frame + fire_out.color * jnp.clip(
+            fire_out.alpha, 0.0, 1.0
+        )[..., None]
+    return jnp.clip(frame, 0.0, 1.0)
 
 
 def render_clip(

@@ -343,3 +343,65 @@ def smoke_to_gaussians(
         opacity_logit=op_logit,
         active=active,
     )
+
+
+def smoke_fire_gaussians(
+    density: jax.Array,
+    temperature: jax.Array,
+    origin: jax.Array,
+    extent: float,
+    max_splats: int = 40_000,
+    density_threshold: float = 0.02,
+    smoke_color: float = 0.35,
+    fire_temp_threshold: float = 0.4,
+) -> tuple[Gaussians, Gaussians]:
+    """One frame's fields -> (smoke, fire) splat sets for the fused
+    single-pass renderer: smoke splats are gray absorbers blended in the
+    merged depth-sorted pass; fire splats are emissive blackbody colors
+    rendered separately and ADDED premultiplied (the compositor's fire
+    contract, blend_all.py:294-302).  Both have static capacity."""
+    r = density.shape[0]
+    cell = extent / r
+    coords = _grid_coords(r).reshape(-1, 3)
+    dens = density.reshape(-1)
+    temp = temperature.reshape(-1)
+
+    score = jnp.where(dens > density_threshold, dens, 0.0)
+    top, idx = jax.lax.top_k(score, min(max_splats, dens.shape[0]))
+    active = top > 0
+    pos = jnp.asarray(origin)[None] + (coords[idx] + 0.5) * cell
+    d_sel = dens[idx]
+    t_sel = temp[idx]
+    fire = t_sel > fire_temp_threshold
+
+    alpha = jnp.clip(d_sel * 0.8, 0.0, 0.95)
+    op_logit = jnp.log(
+        jnp.maximum(alpha, 1e-5) / jnp.maximum(1 - alpha, 1e-5)
+    )
+    n = pos.shape[0]
+    base = dict(
+        xyz=pos,
+        sh_rest=jnp.zeros((n, 15, 3), jnp.float32),
+        log_scales=jnp.full((n, 3), jnp.log(cell * 0.9)),
+        quats=jnp.zeros((n, 4)).at[:, 0].set(1.0),
+    )
+    g_smoke = Gaussians(
+        sh_dc=rgb_to_sh(jnp.full((n, 3), smoke_color)),
+        opacity_logit=op_logit,
+        active=active,
+        **base,
+    )
+    fire_rgb = blackbody_rgb(t_sel) * (1.0 + 2.0 * t_sel[:, None])
+    fire_alpha = jnp.clip(d_sel * 0.8, 0.0, 0.95) * fire.astype(
+        jnp.float32
+    )
+    fire_logit = jnp.log(
+        jnp.maximum(fire_alpha, 1e-5) / jnp.maximum(1 - fire_alpha, 1e-5)
+    )
+    g_fire = Gaussians(
+        sh_dc=rgb_to_sh(fire_rgb),
+        opacity_logit=fire_logit,
+        active=active & fire,
+        **base,
+    )
+    return g_smoke, g_fire

@@ -128,3 +128,115 @@ class TestFusedEditedFrame:
         frames = CL.render_clip(inp, 2, cfg, fused=True)
         assert frames.shape[0] == 2
         assert np.isfinite(np.asarray(frames)).all()
+
+
+class TestFusedEffects:
+    """Smoke/fire volumes + liquid-melt tracers through the fused
+    single-pass renderer (VERDICT r2 item 3)."""
+
+    def _effects_inputs(self, frames=2, melt=False):
+        inp, cfg = _setup(frames=frames)
+        from autovfx_tpu.render import smoke as SMK
+
+        s_cfg = SMK.SmokeConfig(
+            resolution=16, jacobi_iters=5, with_fire=True,
+            dt=1.0 / 15.0,
+        )
+        mask = SMK.sphere_inflow(s_cfg, [8, 8, 3], 2.5)
+        traj = SMK.simulate_smoke(s_cfg, mask, frames)
+        smoke_traj = (
+            traj, np.array([-0.6, -0.6, -0.3], np.float32), 1.2, s_cfg
+        )
+        melt_kw = {}
+        if melt:
+            from autovfx_tpu.render import liquid as LQ
+
+            s = inp.surf_points.shape[0]
+            # synthetic per-frame tracer drift standing in for a real
+            # solve (the solver itself is covered in test_liquid.py)
+            base = np.asarray(inp.surf_points) + np.array([0, 0, 0.3])
+            pos = np.stack(
+                [base * (1.0 - 0.3 * f / max(frames - 1, 1))
+                 for f in range(frames)]
+            ).astype(np.float32)
+            nrm = np.tile(
+                np.array([0, 0, 1.0], np.float32), (frames, s, 1)
+            )
+            melt_kw = dict(
+                melt=dict(pos=pos, norm=nrm, mask=np.ones(s, bool))
+            )
+        return inp, cfg, smoke_traj, melt_kw
+
+    def test_fused_smoke_fire_renders(self):
+        inp, cfg, smoke_traj, _ = self._effects_inputs()
+        states, origin, extent, s_cfg = smoke_traj
+        inp_fx = inp._replace(
+            smoke_density=jnp.asarray(states.density),
+            smoke_temp=jnp.asarray(states.temperature),
+            smoke_origin=jnp.asarray(origin),
+            smoke_extent=jnp.asarray(extent, jnp.float32),
+        )
+        plain = np.asarray(
+            CL.render_edited_frame_fused(inp, 0, cfg, shadow_scale=1)
+        )
+        fx = np.asarray(
+            CL.render_edited_frame_fused(inp_fx, 0, cfg, shadow_scale=1)
+        )
+        assert np.isfinite(fx).all()
+        diff = np.abs(fx - plain).max(-1)
+        assert (diff > 0.05).sum() > 10  # smoke/fire visibly present
+        # fire adds energy (additive premultiplied pass)
+        assert fx.sum() > plain.sum()
+
+    def test_fused_melt_tracers_move_object(self):
+        inp, cfg, _, melt_kw = self._effects_inputs(melt=True)
+        m = melt_kw["melt"]
+        inp_m = inp._replace(
+            melt_pos=jnp.asarray(m["pos"]),
+            melt_norm=jnp.asarray(m["norm"]),
+            melt_mask=jnp.asarray(m["mask"]),
+        )
+        f0 = np.asarray(
+            CL.render_edited_frame_fused(inp_m, 0, cfg, shadow_scale=1)
+        )
+        f1 = np.asarray(
+            CL.render_edited_frame_fused(inp_m, 1, cfg, shadow_scale=1)
+        )
+        assert np.isfinite(f0).all() and np.isfinite(f1).all()
+        # tracer override changes the object pose between frames
+        assert np.abs(f0 - f1).max() > 0.05
+
+    def test_build_clip_inputs_effects_kwargs(self):
+        """build_clip_inputs threads smoke_traj/melt into ClipInputs."""
+        inp, cfg, smoke_traj, melt_kw = self._effects_inputs(melt=True)
+        from autovfx_tpu.utils.synthetic import make_gaussians
+
+        # smallest possible rebuild: reuse the private assembly by
+        # passing the new kwargs
+        states, origin, extent, s_cfg = smoke_traj
+        g2 = CL.build_clip_inputs(
+            bg=make_gaussians(64, jax.random.PRNGKey(2)),
+            cams=inp.cams,
+            objects=[{"scale": 1.0}],
+            surfels=[dict(
+                points=np.asarray(inp.surf_points),
+                normals=np.asarray(inp.surf_normals),
+                colors=np.asarray(inp.surf_colors),
+                radius=float(np.asarray(inp.surf_radius[0])),
+            )],
+            traj_pos=np.asarray(inp.traj_pos),
+            traj_rot=np.asarray(inp.traj_rot),
+            hull_shape=type(
+                "H", (), {
+                    "planes": np.asarray(inp.hull_planes),
+                    "plane_mask": np.asarray(inp.hull_mask),
+                }
+            )(),
+            env=np.asarray(inp.env),
+            num_lights=4,
+            smoke_traj=smoke_traj,
+            melt=melt_kw["melt"],
+        )
+        assert g2.smoke_density is not None
+        assert g2.smoke_density.shape[0] == 2
+        assert g2.melt_pos is not None and bool(g2.melt_mask.all())
