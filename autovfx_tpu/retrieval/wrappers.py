@@ -68,10 +68,78 @@ def _local_assets() -> List[str]:
     return sorted(out)
 
 
+@lru_cache(maxsize=1)
+def _clip():
+    """CLIP (ViT-L by default) from a local transformers cache; None
+    when unavailable.  Point ``AUTOVFX_CLIP_MODEL`` at a local model
+    dir or a cached hub name."""
+    name = os.environ.get(
+        "AUTOVFX_CLIP_MODEL", "openai/clip-vit-large-patch14"
+    )
+    try:
+        from transformers import CLIPModel, CLIPProcessor
+
+        model = CLIPModel.from_pretrained(name, local_files_only=True)
+        proc = CLIPProcessor.from_pretrained(name, local_files_only=True)
+        return model, proc
+    except Exception:
+        return None
+
+
+def clip_rerank(
+    query: str, paths: List[str], sims: np.ndarray,
+    preview_dir: Optional[str] = None,
+) -> np.ndarray:
+    """CLIP image-text re-rank of retrieval candidates
+    (wrapper_objaverse.py:183-201): each candidate gets 4 turntable
+    preview renders (render/preview.py — the GObjaverse pre-rendered
+    views analog); total score = SBERT cosine + mean CLIP image-text
+    cosine.  Without a local CLIP cache the SBERT scores pass through
+    unchanged."""
+    pack = _clip()
+    if pack is None:
+        return np.asarray(sims)
+    model, proc = pack
+    import torch
+    from PIL import Image
+
+    from autovfx_tpu.render.preview import render_asset_previews
+
+    preview_dir = preview_dir or os.path.join(
+        os.environ.get("AUTOVFX_CACHE_DIR", "_cache"), "asset_previews"
+    )
+    with torch.no_grad():
+        t_in = proc(text=[query], return_tensors="pt", padding=True)
+        t_feat = model.get_text_features(**t_in)
+        t_feat = t_feat / t_feat.norm(dim=-1, keepdim=True)
+        scores = np.array(sims, np.float32).copy()
+        for i, p in enumerate(paths):
+            oid = os.path.splitext(os.path.basename(p))[0]
+            try:
+                folder = render_asset_previews(p, preview_dir, oid)
+                imgs = [
+                    Image.open(os.path.join(folder, f))
+                    for f in sorted(os.listdir(folder))
+                    if f.endswith(".png")
+                ]
+                if not imgs:
+                    continue
+                i_in = proc(images=imgs, return_tensors="pt")
+                i_feat = model.get_image_features(**i_in)
+                i_feat = i_feat / i_feat.norm(dim=-1, keepdim=True)
+                scores[i] = scores[i] + float(
+                    (t_feat @ i_feat.T).mean()
+                )
+            except Exception as e:  # noqa: BLE001 — skip bad assets
+                print(f"# clip_rerank: skipping {p} ({e})")
+    return scores
+
+
 def retrieve_asset_from_objaverse(
     object_name: str, is_animated: bool = False
 ) -> Dict:
-    """Top-5-then-random text retrieval (wrapper_objaverse.py:141-223).
+    """SBERT top-10 → CLIP image-text re-rank → top-5 random pick
+    (wrapper_objaverse.py:141-223).
 
     Local library first; the network Objaverse path requires the
     objaverse package + egress and raises AssetNotFound here otherwise.
@@ -84,9 +152,17 @@ def retrieve_asset_from_objaverse(
         ]
         sims = _similarity_rank(object_name, names)
         order = np.argsort(-sims)
-        top = [i for i in order[:10] if sims[i] >= 0.3][:5]
-        if not top:
-            top = list(order[:1])
+        cand = [i for i in order[:10] if sims[i] >= 0.3]
+        if not cand:
+            cand = list(order[:1])
+        # CLIP re-rank over the SBERT shortlist (ref :183-201); score =
+        # sbert + clip, then DOWNLOAD_TOP_K=5 random pick
+        scores = clip_rerank(
+            object_name, [assets[i] for i in cand],
+            np.asarray([sims[i] for i in cand]),
+        )
+        cand = [cand[j] for j in np.argsort(-scores)]
+        top = cand[:5]
         pick = assets[random.choice(top)]
         return {
             "object_name": object_name,

@@ -157,3 +157,36 @@ def lpips_distance(
         else:
             total = total + jnp.mean(d, axis=(1, 2))
     return total[0] if squeeze else total
+
+
+def convert_torch_lpips(
+    vgg_state: dict, lpips_state: dict
+) -> dict:
+    """Map torch VGG16 + `lpips` package linear-head state dicts to the
+    ``AUTOVFX_LPIPS_WEIGHTS`` npz layout (numpy in, numpy out — no
+    torch import; tensors must already be converted to arrays).
+
+    ``vgg_state``: torchvision vgg16 ``state_dict()`` — conv layers at
+    ``features.{0,2,5,7,10,12,14,17,19,21,24,26,28}.weight/bias``
+    (OIHW, transposed to HWIO at load by ``_file_params``).
+    ``lpips_state``: lpips.LPIPS(net='vgg') state — heads at
+    ``lins.{k}.model.1.weight`` (1x1 convs, (1, C, 1, 1)).
+    """
+    torch_conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    assert len(torch_conv_idx) == len(_VGG_PLAN)
+    out = {}
+    for k, ti in enumerate(torch_conv_idx):
+        w = np.asarray(vgg_state[f"features.{ti}.weight"], np.float32)
+        b = np.asarray(vgg_state[f"features.{ti}.bias"], np.float32)
+        assert w.shape[2:] == (3, 3), (ti, w.shape)
+        assert w.shape[0] == _VGG_PLAN[k][0], (ti, w.shape)
+        out[f"conv{k}_w"] = w  # OIHW; _file_params transposes
+        out[f"conv{k}_b"] = b
+    for k in range(len(_TAPS)):
+        key = f"lins.{k}.model.1.weight"
+        if key not in lpips_state:  # older lpips layout
+            key = f"lin{k}.model.1.weight"
+        lin = np.asarray(lpips_state[key], np.float32).reshape(-1)
+        assert lin.shape[0] == _VGG_PLAN[_TAPS[k]][0], (k, lin.shape)
+        out[f"lin{k}"] = lin
+    return out

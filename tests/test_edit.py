@@ -463,3 +463,33 @@ class TestDrivingHelpers:
         np.testing.assert_allclose(
             p[:2], scene.camera_position[:2], atol=1e-6
         )
+
+
+class TestWaymoPrompt:
+    def test_every_example_parses_and_uses_known_helpers(self):
+        """Each few-shot block in the Waymo planner prompt must be valid
+        Python and call only documented DSL helpers (reference coverage:
+        planner_prompt_waymo.txt)."""
+        import ast
+        import os
+        import re
+
+        from autovfx_tpu.edit import edit_utils as EU
+
+        path = os.path.join(
+            os.path.dirname(EU.__file__), "..", "gpt", "prompts",
+            "planner_prompt_waymo.txt",
+        )
+        text = open(path).read()
+        blocks = re.split(r"# Query:.*\n", text)[1:]
+        assert len(blocks) >= 12  # reference-scale few-shot coverage
+        allowed = set(dir(EU)) | {
+            "np", "range", "len", "float", "int", "scene", "print",
+        }
+        for b in blocks:
+            tree = ast.parse(b)
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Call) and isinstance(
+                    node.func, ast.Name
+                ):
+                    assert node.func.id in allowed, node.func.id

@@ -134,3 +134,91 @@ class TestInpaintLoss:
         v, grad = jax.value_and_grad(loss)(g.xyz)
         assert np.isfinite(float(v))
         assert np.isfinite(np.asarray(grad)).all()
+
+
+class TestLPIPSConversion:
+    """convert_torch_lpips maps torchvision/lpips state-dict layouts to
+    the AUTOVFX_LPIPS_WEIGHTS npz (scripts/convert_lpips_weights.py)."""
+
+    def _fake_torch_states(self, seed=0):
+        from autovfx_tpu.utils.lpips_jax import _TAPS, _VGG_PLAN
+
+        rng = np.random.RandomState(seed)
+        torch_conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+        vgg = {}
+        cin = 3
+        for k, ti in enumerate(torch_conv_idx):
+            cout = _VGG_PLAN[k][0]
+            vgg[f"features.{ti}.weight"] = rng.randn(
+                cout, cin, 3, 3
+            ).astype(np.float32) * 0.05
+            vgg[f"features.{ti}.bias"] = np.zeros(cout, np.float32)
+            cin = cout
+        heads = {
+            f"lins.{k}.model.1.weight": np.abs(
+                rng.randn(1, _VGG_PLAN[_TAPS[k]][0], 1, 1)
+            ).astype(np.float32)
+            for k in range(len(_TAPS))
+        }
+        return vgg, heads
+
+    def test_conversion_roundtrip(self, tmp_path):
+        from autovfx_tpu.utils import lpips_jax as L
+
+        vgg, heads = self._fake_torch_states()
+        out = L.convert_torch_lpips(vgg, heads)
+        path = str(tmp_path / "w.npz")
+        np.savez(path, **out)
+        params = L._file_params(path)
+        assert params.source == "file"
+        # HWIO transpose happened: conv0 w is (3, 3, 3, 64)
+        assert params.convs[0][0].shape == (3, 3, 3, 64)
+        np.testing.assert_allclose(
+            params.convs[0][0],
+            vgg["features.0.weight"].transpose(2, 3, 1, 0),
+        )
+        # heads flattened, nonnegative
+        assert params.lins[0].shape == (64,)
+        img1 = jnp.asarray(
+            np.random.RandomState(1).rand(17, 19, 3), jnp.float32
+        )
+        img2 = img1 + 0.1
+        d = float(L.lpips_distance(img1, img2, params=params))
+        assert np.isfinite(d) and d > 0
+        assert float(L.lpips_distance(img1, img1, params=params)) < 1e-6
+
+    def test_conversion_rejects_wrong_channels(self):
+        from autovfx_tpu.utils import lpips_jax as L
+
+        vgg, heads = self._fake_torch_states()
+        vgg["features.0.weight"] = vgg["features.0.weight"][:32]
+        with pytest.raises(AssertionError):
+            L.convert_torch_lpips(vgg, heads)
+
+    def test_committed_test_vector(self):
+        """Pinned LPIPS value for the committed mini weight file —
+        regression-locks the feature extractor + head reduction.  (True
+        torch parity needs the real VGG weights, which cannot ship in
+        this zero-egress environment; scripts/convert_lpips_weights.py
+        produces the canonical file offline.)"""
+        import os
+
+        from autovfx_tpu.utils import lpips_jax as L
+
+        vec = np.load(
+            os.path.join(
+                os.path.dirname(__file__), "golden", "lpips_vector.npz"
+            )
+        )
+        params = L._file_params(
+            os.path.join(
+                os.path.dirname(__file__), "golden", "lpips_mini.npz"
+            )
+        )
+        d = float(
+            L.lpips_distance(
+                jnp.asarray(vec["img1"]), jnp.asarray(vec["img2"]),
+                params=params,
+            )
+        )
+        np.testing.assert_allclose(d, float(vec["expected"]), rtol=1e-4)

@@ -115,3 +115,79 @@ class TestMeshyWorkflow:
         # its own clear error when no library is configured either)
         with pytest.raises(W.AssetNotFound):
             W.retrieve_asset_from_meshy("box")
+
+
+class TestClipRerank:
+    def test_passthrough_without_clip(self, monkeypatch):
+        """No local CLIP cache -> SBERT scores unchanged (the optional
+        weights hook, wrapper_objaverse.py:183-201 analog)."""
+        from autovfx_tpu.retrieval import wrappers as W
+
+        monkeypatch.setattr(W, "_clip", lambda: None)
+        sims = np.array([0.8, 0.5, 0.3], np.float32)
+        out = W.clip_rerank("a red car", ["a.obj", "b.obj", "c.obj"], sims)
+        np.testing.assert_array_equal(out, sims)
+
+    def test_rerank_reorders_with_stub_model(self, monkeypatch, tmp_path):
+        """With a CLIP-shaped stub, image-text scores add to SBERT and
+        can flip the order."""
+        from autovfx_tpu.retrieval import wrappers as W
+
+        class StubTensor:
+            def __init__(self, arr):
+                self.arr = np.asarray(arr, np.float32)
+
+            def norm(self, dim=-1, keepdim=True):
+                return StubTensor(
+                    np.linalg.norm(self.arr, axis=dim, keepdims=keepdim)
+                )
+
+            def __truediv__(self, o):
+                return StubTensor(self.arr / o.arr)
+
+            def __matmul__(self, o):
+                return StubTensor(self.arr @ o.arr)
+
+            @property
+            def T(self):
+                return StubTensor(self.arr.T)
+
+            def mean(self):
+                return float(self.arr.mean())
+
+        class StubModel:
+            def get_text_features(self, **kw):
+                return StubTensor([[1.0, 0.0]])
+
+            def get_image_features(self, **kw):
+                # favor the SECOND asset (b): aligned with text
+                v = [[0.0, 1.0]] if kw["which"] == 0 else [[1.0, 0.0]]
+                return StubTensor(v)
+
+        calls = {"i": 0}
+
+        class StubProc:
+            def __call__(self, text=None, images=None, **kw):
+                if text is not None:
+                    return {}
+                k = {"which": calls["i"]}
+                calls["i"] += 1
+                return k
+
+        monkeypatch.setattr(W, "_clip", lambda: (StubModel(), StubProc()))
+        # stub out the preview renderer: just needs a folder with a png
+        import os
+
+        from PIL import Image
+
+        folder = tmp_path / "previews"
+        folder.mkdir()
+        Image.new("RGB", (4, 4)).save(folder / "000.png")
+        monkeypatch.setattr(
+            "autovfx_tpu.render.preview.render_asset_previews",
+            lambda p, d, oid, **kw: str(folder),
+        )
+        sims = np.array([0.55, 0.5], np.float32)
+        out = W.clip_rerank("query", ["a.obj", "b.obj"], sims)
+        # b gains +1.0 CLIP score and overtakes a
+        assert out[1] > out[0]
