@@ -175,6 +175,8 @@ def main():
 
     if MODE == "train":
         return _main_train(g, cams, cfg)
+    if MODE == "sugar":
+        return _main_sugar(g, cams, cfg)
 
     # --- config 1: novel-view ring -------------------------------------
     view_fps = None
@@ -377,6 +379,47 @@ def _main_train(g, cams, cfg):
         f"garden-like {WIDTH}x{HEIGHT} 3DGS training iters/sec/chip "
         f"({N_GAUSS} splats, fwd+bwd+adam)",
         1.0 / dt, {"unit_override": "iters/s"},
+    )
+
+
+def _main_sugar(g, cams, cfg):
+    """BASELINE config 3 evidence: SuGaR mesh extraction at bench-scale
+    splat count — wall time + RMS distance of mesh vertices to the
+    level set (reference: extract_mesh at 1M verts, train_3dgs.sh:55+)."""
+    from autovfx_tpu.sugar import density as D
+    from autovfx_tpu.sugar import extract_mesh as EX
+    from autovfx_tpu.sugar.levelset import _nearest_gaussian
+
+    cfg_x = cfg.replace(feature_pack="f32")
+    t0 = time.time()
+    mesh = EX.extract_mesh_from_gaussians(
+        g, cams, config=cfg_x,
+        fg_resolution=int(os.environ.get("BENCH_SUGAR_RES", 160)),
+        bg_resolution=64,
+        target_vertices=int(
+            os.environ.get("BENCH_SUGAR_VERTS", 200_000)
+        ),
+    )
+    wall = time.time() - t0
+    # RMS of |density - level| at (subsampled) mesh vertices
+    v = np.asarray(mesh.vertices, np.float32)
+    sel = jnp.asarray(v[:: max(len(v) // 20_000, 1)])
+    g_neighbors = D.reset_neighbors(g, k=16)
+    nearest, _ = _nearest_gaussian(sel, g)
+    dens = np.asarray(
+        D.compute_density(sel, g_neighbors[nearest], g)
+    )
+    rms = float(np.sqrt(np.mean((np.clip(dens, 0, 1) - 0.3) ** 2)))
+    _emit(
+        f"SuGaR mesh extraction wall-clock ({N_GAUSS} splats -> "
+        f"{len(mesh.vertices)} verts)",
+        wall,
+        {
+            "unit_override": "seconds",
+            "rms_to_levelset": round(rms, 4),
+            "vertices": int(len(mesh.vertices)),
+            "faces": int(len(mesh.faces)),
+        },
     )
 
 
