@@ -189,6 +189,7 @@ class TestDistributedSlabBuild:
     """VERDICT r2 weak #5: slab build from an already-sharded store
     (no device holds the full scene) + amortized trajectory resharding."""
 
+    @pytest.mark.slow
     def test_distributed_build_matches_reference_render(self):
         from autovfx_tpu.parallel.sharding import (
             distributed_shard_compact,
