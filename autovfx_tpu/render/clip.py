@@ -337,7 +337,9 @@ def render_edited_frame_fused(
         from autovfx_tpu.render import smoke as SMK
 
         g_smoke, g_fire = SMK.smoke_fire_gaussians(
-            inp.smoke_density[frame_idx],
+            SMK.apply_density_noise(
+                inp.smoke_density[frame_idx], frame_idx, SMK.SmokeConfig()
+            ),
             inp.smoke_temp[frame_idx],
             inp.smoke_origin,
             inp.smoke_extent,
