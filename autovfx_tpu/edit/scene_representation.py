@@ -993,10 +993,15 @@ class SceneRepresentation:
         on = np.ones((self.total_frames,), bool)
         if has_event.any():
             on = fire_smoke[:, has_event].any(axis=1)
-        traj = SM.simulate_smoke(
-            cfg, mask, self.total_frames, jnp.asarray(on)
+        # adaptive: the fixed-res domain recenters to follow the plume
+        # (Blender adaptive-domain analog, all_rendering.py:1271-1275)
+        traj, origins = SM.simulate_smoke(
+            cfg, mask, self.total_frames, jnp.asarray(on), adaptive=True
         )
-        self._smoke_traj = (traj, origin.astype(np.float32), extent, cfg)
+        self._smoke_traj = (
+            traj, origin.astype(np.float32), extent, cfg,
+            np.asarray(origins),
+        )
         return self._smoke_traj
 
     def render_smoke_pass(self, frame_idx: int):
@@ -1007,15 +1012,17 @@ class SceneRepresentation:
         h, w = cam.height, cam.width
         if traj is None:
             return None
-        states, origin, extent, cfg = traj
+        states, origin, extent, cfg, origin_cells = traj
         from autovfx_tpu.render import smoke as SM
 
+        cell = extent / cfg.resolution
+        origin_f = origin + origin_cells[frame_idx].astype(np.float32) * cell
         g_smoke = SM.smoke_to_gaussians(
             SM.apply_density_noise(
                 states.density[frame_idx], frame_idx, cfg
             ),
             states.temperature[frame_idx],
-            origin,
+            origin_f,
             extent,
             with_fire=cfg.with_fire,
         )

@@ -188,32 +188,100 @@ def step(state: SmokeState, inflow_mask: jax.Array, cfg: SmokeConfig):
     return SmokeState(density=density, temperature=temp, velocity=vel)
 
 
+def _shift_zero_fill(field: jax.Array, s: jax.Array, axis: int):
+    """Roll ``field`` by -s along ``axis`` with zero fill (no wrap).
+    ``s`` is a traced int32 (|s| small); content moves toward lower
+    indices when s > 0 — the domain origin moved UP by s cells."""
+    r = field.shape[axis]
+    rolled = jnp.roll(field, -s, axis=axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, field.shape, axis)
+    keep = jnp.where(
+        s >= 0, idx < r - s, idx >= -s
+    )
+    return jnp.where(keep, rolled, 0.0)
+
+
 def simulate_smoke(
     cfg: SmokeConfig,
     inflow_mask: jax.Array,
     num_frames: int,
     inflow_frames: jax.Array | None = None,
-) -> SmokeState:
+    adaptive: bool = False,
+    max_shift: int = 2,
+):
     """Simulate the clip; returns stacked per-frame states (F, R, R, R...).
 
     ``inflow_frames``: optional (F,) bool — fuel on/off per frame (the
     keyframed fuel behavior / smoke events).
+
+    ``adaptive=True`` is the TPU-first analog of Blender's adaptive
+    domain (all_rendering.py:1271-1275): instead of growing the box
+    (dynamic shapes), the fixed-resolution domain RECENTERS each frame
+    toward the density centroid (≤ ``max_shift`` cells/frame/axis), so a
+    rising plume never clips at the lid.  The world-fixed emitter mask
+    shifts opposite to the cumulative offset.  Returns
+    (SmokeState stacked, origin_cells (F, 3) int32) — add
+    ``origin_cells[f] * cell`` to the domain origin when rendering
+    frame f.
     """
     if inflow_frames is None:
         inflow_frames = jnp.ones((num_frames,), bool)
 
+    if not adaptive:
+        @jax.jit
+        def run(state):
+            def frame(state, on):
+                state = step(
+                    state, inflow_mask * on.astype(jnp.float32), cfg
+                )
+                return state, state
+
+            _, traj = jax.lax.scan(frame, state, inflow_frames)
+            return traj
+
+        return run(init_state(cfg))
+
+    r = cfg.resolution
+    center = (r - 1) / 2.0
+    coords = _grid_coords(r)
+
     @jax.jit
-    def run(state):
-        def frame(state, on):
-            state = step(
-                state, inflow_mask * on.astype(jnp.float32), cfg
+    def run_adaptive(state):
+        def frame(carry, on):
+            state, origin = carry  # origin: (3,) int32 cumulative cells
+            # emitter is world-fixed: shift its mask into domain coords
+            m = inflow_mask
+            for ax in range(3):
+                m = _shift_zero_fill(m, origin[ax], ax)
+            state = step(state, m * on.astype(jnp.float32), cfg)
+            # recenter toward the density centroid
+            mass = jnp.maximum(jnp.sum(state.density), 1e-6)
+            com = (
+                jnp.sum(
+                    state.density[..., None] * coords, axis=(0, 1, 2)
+                )
+                / mass
             )
-            return state, state
+            shift = jnp.clip(
+                jnp.round(com - center).astype(jnp.int32),
+                -max_shift, max_shift,
+            )
+            shift = jnp.where(mass > 1e-3, shift, 0)
+            d, t, v = state.density, state.temperature, state.velocity
+            for ax in range(3):
+                d = _shift_zero_fill(d, shift[ax], ax)
+                t = _shift_zero_fill(t, shift[ax], ax)
+                v = _shift_zero_fill(v, shift[ax], ax)
+            state = SmokeState(density=d, temperature=t, velocity=v)
+            origin = origin + shift
+            return (state, origin), (state, origin)
 
-        _, traj = jax.lax.scan(frame, state, inflow_frames)
-        return traj
+        (_, _), (traj, origins) = jax.lax.scan(
+            frame, (state, jnp.zeros(3, jnp.int32)), inflow_frames
+        )
+        return traj, origins
 
-    return run(init_state(cfg))
+    return run_adaptive(init_state(cfg))
 
 
 def _lattice_hash(ix, iy, iz, seed):

