@@ -70,6 +70,9 @@ class ClipInputs(NamedTuple):
     melt_pos: jax.Array | None = None       # (F, S, 3)
     melt_norm: jax.Array | None = None      # (F, S, 3)
     melt_mask: jax.Array | None = None      # (S,) bool
+    # optional prefiltered GGX radiance stack (ibl.prefilter_envmap_ggx)
+    # for split-sum specular in the fused shading
+    env_ggx: jax.Array | None = None        # (L, He, We, 3)
 
 
 def build_clip_inputs(
@@ -85,6 +88,7 @@ def build_clip_inputs(
     pack_rows: bool = False,
     smoke_traj: tuple | None = None,
     melt: dict | None = None,
+    with_ggx: bool = False,
 ) -> ClipInputs:
     """Host-side assembly (surfels: per-object dicts from
     meshsplat.sample_mesh_surfels, aligned with objects/trajectories)."""
@@ -150,9 +154,15 @@ def build_clip_inputs(
             melt_norm=jnp.asarray(melt["norm"], jnp.float32),
             melt_mask=jnp.asarray(melt["mask"], bool),
         )
+    ggx_kw = {}
+    if with_ggx:
+        ggx_kw = dict(
+            env_ggx=jnp.asarray(RIBL.prefilter_envmap_ggx(env))
+        )
     return ClipInputs(
         **smoke_kw,
         **melt_kw,
+        **ggx_kw,
         bg=bg,
         bg_rows=bg_rows,
         cams=cams,
@@ -232,6 +242,7 @@ def shaded_object_gaussians(
         inp.surf_colors,
         roughness=inp.surf_rough[:, None],
         metallic=inp.surf_metal[:, None],
+        env_ggx=inp.env_ggx,
     )
     g_obj = RMS.surfels_to_gaussians(p_world, n_shade, shaded, 1.0)
     # per-surfel radii (surfels_to_gaussians takes a scalar; fix up)

@@ -240,3 +240,30 @@ class TestFusedEffects:
         assert g2.smoke_density is not None
         assert g2.smoke_density.shape[0] == 2
         assert g2.melt_pos is not None and bool(g2.melt_mask.all())
+
+
+class TestFusedGGX:
+    def test_ggx_stack_changes_specular(self):
+        """with_ggx=True threads the prefiltered stack into the fused
+        shading; metallic surfels pick up sharper reflections."""
+        inp, cfg = _setup()
+        from autovfx_tpu.render import ibl as RIBL
+
+        stack = RIBL.prefilter_envmap_ggx(
+            np.asarray(inp.env), levels=3, out_hw=(16, 32), samples=16
+        )
+        inp_g = inp._replace(
+            env_ggx=jnp.asarray(stack),
+            surf_metal=jnp.ones_like(inp.surf_metal),
+            surf_rough=jnp.full_like(inp.surf_rough, 0.1),
+        )
+        inp_p = inp._replace(
+            surf_metal=jnp.ones_like(inp.surf_metal),
+            surf_rough=jnp.full_like(inp.surf_rough, 0.1),
+        )
+        a = np.asarray(CL.render_edited_frame_fused(inp_g, 0, cfg,
+                                                    shadow_scale=1))
+        b = np.asarray(CL.render_edited_frame_fused(inp_p, 0, cfg,
+                                                    shadow_scale=1))
+        assert np.isfinite(a).all()
+        assert np.abs(a - b).max() > 0.01  # the split-sum path engaged
