@@ -135,16 +135,48 @@ def clip_rerank(
     return scores
 
 
+def glb_has_animation(path: str) -> bool:
+    """True when a .glb/.gltf carries animation channels (the
+    reference's animated-asset db membership check,
+    wrapper_objaverse.py:29-36).  Non-glTF formats: False."""
+    import json as _json
+    import struct
+
+    low = path.lower()
+    try:
+        if low.endswith(".gltf"):
+            with open(path) as f:
+                return bool(_json.load(f).get("animations"))
+        if low.endswith(".glb"):
+            with open(path, "rb") as f:
+                magic, _ver, _length = struct.unpack("<III", f.read(12))
+                if magic != 0x46546C67:  # 'glTF'
+                    return False
+                chunk_len, chunk_type = struct.unpack("<II", f.read(8))
+                if chunk_type != 0x4E4F534A:  # 'JSON'
+                    return False
+                return bool(
+                    _json.loads(f.read(chunk_len)).get("animations")
+                )
+    except Exception:
+        return False
+    return False
+
+
 def retrieve_asset_from_objaverse(
     object_name: str, is_animated: bool = False
 ) -> Dict:
     """SBERT top-10 → CLIP image-text re-rank → top-5 random pick
     (wrapper_objaverse.py:141-223).
 
-    Local library first; the network Objaverse path requires the
-    objaverse package + egress and raises AssetNotFound here otherwise.
+    ``is_animated=True`` restricts candidates to glTF assets carrying
+    animation channels (the animated-embedding-db analog).  Local
+    library first; the network Objaverse path requires the objaverse
+    package + egress and raises AssetNotFound here otherwise.
     """
     assets = _local_assets()
+    if is_animated:
+        assets = [p for p in assets if glb_has_animation(p)]
     if assets:
         names = [
             os.path.splitext(os.path.basename(p))[0].replace("_", " ")

@@ -191,3 +191,36 @@ class TestClipRerank:
         out = W.clip_rerank("query", ["a.obj", "b.obj"], sims)
         # b gains +1.0 CLIP score and overtakes a
         assert out[1] > out[0]
+
+
+class TestAnimatedAssetFilter:
+    def test_glb_animation_check_and_filter(self, tmp_path, monkeypatch):
+        from autovfx_tpu.retrieval import wrappers as W
+
+        # reuse the committed animated walk.glb if present; else build
+        # a minimal static glb
+        import json as _json
+        import struct
+
+        def write_glb(path, gltf):
+            data = _json.dumps(gltf).encode()
+            pad = (-len(data)) % 4
+            data += b" " * pad
+            with open(path, "wb") as f:
+                total = 12 + 8 + len(data)
+                f.write(struct.pack("<III", 0x46546C67, 2, total))
+                f.write(struct.pack("<II", len(data), 0x4E4F534A))
+                f.write(data)
+
+        anim = tmp_path / "dancing_robot.glb"
+        static = tmp_path / "static_robot.glb"
+        write_glb(anim, {"asset": {"version": "2.0"},
+                         "animations": [{"channels": []}]})
+        write_glb(static, {"asset": {"version": "2.0"}})
+        assert W.glb_has_animation(str(anim))
+        assert not W.glb_has_animation(str(static))
+
+        monkeypatch.setenv(W.ASSET_DIR_ENV, str(tmp_path))
+        W._sbert.cache_clear()
+        out = W.retrieve_asset_from_objaverse("robot", is_animated=True)
+        assert out["object_path"] == str(anim)
