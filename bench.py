@@ -168,6 +168,7 @@ def main():
     cfg = RasterConfig(
         dup_budget=1 << 21, backend=backend, tile=TILE, chunk=CHUNK,
         feature_pack=os.environ.get("BENCH_FEATURE_PACK", "bf16"),
+        feature_gather=os.environ.get("BENCH_FEATURE_GATHER", "cols"),
     )
     cfg = cfg.replace(dup_budget=_auto_budget(g, cams, cfg))
     bg = jnp.zeros((3,), jnp.float32)
