@@ -520,7 +520,11 @@ def distributed_shard_compact(
         slab = jnp.where(act, slab, d_count)  # inactive: route nowhere
 
         feat = _pack_feature_matrix(g)
-        order = jnp.argsort(slab * 2)  # stable enough: inactive last
+        # stable argsort groups each destination slab contiguously
+        # (inactive splats carry slab=d_count and sort to the tail);
+        # per-slab internal order is irrelevant — the renderer re-sorts
+        # by depth inside each slab
+        order = jnp.argsort(slab)
         slab_sorted = slab[order]
         feat_sorted = feat[order]
         start_of = jnp.searchsorted(
