@@ -167,6 +167,7 @@ class TestFusedEffects:
             )
         return inp, cfg, smoke_traj, melt_kw
 
+    @pytest.mark.slow
     def test_fused_smoke_fire_renders(self):
         inp, cfg, smoke_traj, _ = self._effects_inputs()
         states, origin, extent, s_cfg = smoke_traj
@@ -188,6 +189,7 @@ class TestFusedEffects:
         # fire adds energy (additive premultiplied pass)
         assert fx.sum() > plain.sum()
 
+    @pytest.mark.slow
     def test_fused_melt_tracers_move_object(self):
         inp, cfg, _, melt_kw = self._effects_inputs(melt=True)
         m = melt_kw["melt"]
@@ -243,6 +245,7 @@ class TestFusedEffects:
 
 
 class TestFusedGGX:
+    @pytest.mark.slow
     def test_ggx_stack_changes_specular(self):
         """with_ggx=True threads the prefiltered stack into the fused
         shading; metallic surfels pick up sharper reflections."""
