@@ -68,6 +68,9 @@ class SceneParams:
     env_map_path: Optional[str] = None  # precomputed DiffusionLight HDR
     dup_budget: int = 1 << 21
     light_samples: int = 64
+    # indoor emitter mesh (opt.py:62-63) sampled into area lights
+    emitter_mesh_path: Optional[str] = None
+    white_background: bool = False
     cache_dir: Optional[str] = None
 
 
@@ -267,6 +270,18 @@ class SceneRepresentation:
             jnp.asarray(fcol),
         )
         return self._mirror_tris
+
+    def _emitter_lights(self):
+        """Cached area-light samples of the indoor emitter mesh
+        (emitter_mesh_path, opt.py:62-63) or None."""
+        path = getattr(self.hparams, "emitter_mesh_path", None)
+        if not path or not os.path.exists(path):
+            return None
+        if getattr(self, "_emitter_cache", None) is None:
+            from autovfx_tpu.render.emitter import load_emitter
+
+            self._emitter_cache = load_emitter(path)
+        return self._emitter_cache
 
     def _object_surfels(self, obj: Dict, num_samples: int = 60_000) -> dict:
         path = obj["object_path"]
@@ -596,7 +611,12 @@ class SceneRepresentation:
         cfg = self._raster_cfg()
         frames = frame_indices or list(range(self.total_frames))
         colors, depths, alphas = [], [], []
-        bg = jnp.zeros((3,), jnp.float32)
+        # white_background flag parity (scene_representation.py:93)
+        bg = (
+            jnp.ones((3,), jnp.float32)
+            if self.hparams.white_background
+            else jnp.zeros((3,), jnp.float32)
+        )
 
         render_one = jax.jit(
             lambda g, cam: rasterize(g, cam, bg=bg, config=cfg)
@@ -917,6 +937,7 @@ class SceneRepresentation:
                     transform=transform,
                     env_ggx=self._env_ggx,
                     mirror_scene=mirror_scene,
+                    emitter=self._emitter_lights(),
                 )
             )
         if not gs:

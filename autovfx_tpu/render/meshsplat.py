@@ -142,6 +142,7 @@ def shaded_object_gaussians(
     transform: Optional[tuple] = None,
     env_ggx: Optional[jax.Array] = None,
     mirror_scene: Optional[tuple] = None,
+    emitter=None,
 ) -> Gaussians:
     """Apply (scale, R, t) transform, IBL-shade, return surfel Gaussians.
 
@@ -190,4 +191,11 @@ def shaded_object_gaussians(
         metallic=metallic, env_ggx=env_ggx,
         scene_spec=scene_spec, scene_spec_mask=scene_mask,
     )
+    if emitter is not None:
+        # indoor emitter mesh: direct area-light term (render/emitter)
+        from autovfx_tpu.render.emitter import emitter_irradiance
+
+        shaded = shaded + albedo * emitter_irradiance(
+            pts, nrm_s, emitter
+        )
     return surfels_to_gaussians(pts, nrm_s, shaded, radius)

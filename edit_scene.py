@@ -38,6 +38,16 @@ def get_opts():
     p.add_argument("--offline_program", type=str, default=None,
                    help="path to a Python file with the edit program "
                         "(skips the GPT call)")
+    p.add_argument("--emitter_mesh_path", type=str, default=None,
+                   help="emitter mesh (.obj) for indoor scenes")
+    p.add_argument("--white_background", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+    # Blender-era flags accepted for drop-in CLI compatibility; the
+    # in-process renderer replaces the Blender subprocess
+    p.add_argument("--blender_path", type=str, default=None,
+                   help="ignored (no Blender subprocess in this build)")
+    p.add_argument("--blender_config_name", type=str, default=None,
+                   help="ignored (edit IR JSON is written automatically)")
     return p.parse_args()
 
 

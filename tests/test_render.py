@@ -436,3 +436,69 @@ class TestGGXSpecular:
         )
         out = np.asarray(out)
         assert out[0, 0] > 3 * out[0, 2]  # specular carries the red wall
+
+
+class TestEmitterLighting:
+    """Indoor emitter mesh -> area lights (emitter_mesh_path parity,
+    reference opt.py:62-63)."""
+
+    def _emitter_quad(self, tmp_path, z=1.0):
+        from autovfx_tpu.edit import mesh_io
+        from autovfx_tpu.edit.mesh_io import Mesh
+
+        v = np.array(
+            [[-0.2, -0.2, z], [0.2, -0.2, z], [0.2, 0.2, z],
+             [-0.2, 0.2, z]], np.float32
+        )
+        f = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+        p = str(tmp_path / "emitter.obj")
+        mesh_io.save_obj(p, Mesh(v, f))
+        return p
+
+    def test_irradiance_falls_off_and_follows_normal(self, tmp_path):
+        from autovfx_tpu.render import emitter as EM
+
+        lights = EM.load_emitter(
+            self._emitter_quad(tmp_path), num_samples=64, strength=5.0
+        )
+        pts = jnp.asarray(
+            np.array([[0, 0, 0.5], [0, 0, 0.0], [2.0, 0, 0.5]],
+                     np.float32)
+        )
+        up = jnp.asarray(np.tile([0, 0, 1.0], (3, 1)).astype(np.float32))
+        e = np.asarray(EM.emitter_irradiance(pts, up, lights))
+        assert (e > 0).all()
+        assert e[0, 0] > 2.0 * e[1, 0]  # closer -> brighter
+        assert e[0, 0] > 2.0 * e[2, 0]  # off to the side -> dimmer
+        down = -up
+        e_down = np.asarray(EM.emitter_irradiance(pts, down, lights))
+        np.testing.assert_allclose(e_down, 0.0, atol=1e-7)
+
+    def test_shaded_surfels_brighter_with_emitter(self, tmp_path):
+        from autovfx_tpu.render import emitter as EM
+        from autovfx_tpu.render import meshsplat as MS
+
+        lights = EM.load_emitter(
+            self._emitter_quad(tmp_path), num_samples=32, strength=20.0
+        )
+        n = 200
+        rng = np.random.RandomState(0)
+        pts = rng.rand(n, 3).astype(np.float32) * 0.2
+        surf = dict(
+            points=jnp.asarray(pts),
+            normals=jnp.asarray(np.tile([0, 0, 1.0], (n, 1)).astype(
+                np.float32)),
+            colors=jnp.full((n, 3), 0.5),
+            radius=np.float32(0.02),
+        )
+        env = jnp.full((8, 16, 3), 0.1)
+        sh = jnp.asarray(ibl.envmap_sh9(np.asarray(env)))
+        cam_c = jnp.asarray([0.0, -2.0, 0.5])
+        g0 = MS.shaded_object_gaussians(surf, env, sh, cam_c)
+        g1 = MS.shaded_object_gaussians(surf, env, sh, cam_c,
+                                        emitter=lights)
+        from autovfx_tpu.core.sh import C0
+
+        c0 = np.asarray(g0.sh_dc) * C0 + 0.5
+        c1 = np.asarray(g1.sh_dc) * C0 + 0.5
+        assert c1.mean() > c0.mean() + 0.02
