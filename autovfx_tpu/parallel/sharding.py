@@ -455,6 +455,12 @@ def _unpack_feature_matrix(feat: jax.Array, sh_rest_k: int) -> Gaussians:
     quats = take(4)
     opacity = take(1)[:, 0]
     active = take(1)[:, 0] > 0.5
+    # zeroed (inactive) exchange rows: identity quat + tiny opacity so
+    # no 0/0 ever reaches the covariance math before culling masks it
+    quats = jnp.where(active[:, None], quats, 0.0).at[:, 0].add(
+        jnp.where(active, 0.0, 1.0)
+    )
+    opacity = jnp.where(active, opacity, -10.0)
     return Gaussians(
         xyz=xyz, sh_dc=sh_dc, sh_rest=sh_rest, log_scales=log_scales,
         quats=quats, opacity_logit=opacity, active=active,
