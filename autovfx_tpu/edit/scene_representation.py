@@ -792,11 +792,21 @@ class SceneRepresentation:
             if melt_p > 0.0:
                 from autovfx_tpu.render import liquid as LQ
 
-                act = np.asarray(og.active)
-                idx = np.nonzero(act)[0]
-                sim, mf = self._melt_liquid(
-                    obj, np.asarray(og.xyz)[idx], None
-                )
+                oid = obj["object_id"]
+                idx = getattr(self, "_melt_idx", {}).get(oid)
+                if idx is None:
+                    # solve once from the rest-pose splat centers; the
+                    # active-index map is cached so later frames skip
+                    # the per-frame host materialization
+                    idx = np.nonzero(np.asarray(og.active))[0]
+                    if not hasattr(self, "_melt_idx"):
+                        self._melt_idx = {}
+                    self._melt_idx[oid] = idx
+                    sim, mf = self._melt_liquid(
+                        obj, np.asarray(og.xyz)[idx], None
+                    )
+                else:
+                    sim, mf = self._melt_sims[oid]
                 f = min(frame_idx, mf.tracer_pos.shape[0] - 1)
                 og = LQ.apply_melt_to_gaussians(og, idx, mf, f, sim.cell)
             if burn_p > 0.0:
@@ -1052,7 +1062,14 @@ class SceneRepresentation:
         alpha = np.asarray(out.alpha)
         depth = np.asarray(out.depth) / np.maximum(alpha, 1e-6)
         depth = np.where(alpha > 0.01, depth, 1e9)
-        fire_premult = color * alpha[..., None] if cfg.with_fire else None
+        # the rasterizer's color IS the premultiplied foreground
+        # radiance (Σ T·α·c over black bg) — the compositor's
+        # C_pre + bg·(1−α) contract (blend_all.py:300-302) wants it
+        # as-is, not multiplied by alpha again.  Supplied for smoke-only
+        # domains too (the reference renders the _pre pass whenever a
+        # smoke/fire domain exists), so gray smoke keeps its color
+        # instead of darkening with the empty object pass.
+        fire_premult = color
         return color, alpha, depth, fire_premult
 
     def render_shadow_pass(self, frame_idx: int, bg_depth, bg_alpha):

@@ -14,6 +14,7 @@ Per frame (mirroring the reference's pass structure):
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -64,6 +65,9 @@ class ClipInputs(NamedTuple):
     smoke_temp: jax.Array | None = None     # (F, R, R, R)
     smoke_origin: jax.Array | None = None   # (3,)
     smoke_extent: jax.Array | None = None   # () f32
+    # per-frame adaptive-domain offsets in CELLS (simulate_smoke
+    # adaptive=True); zeros when the domain is fixed
+    smoke_origin_cells: jax.Array | None = None  # (F, 3) int32
     # optional liquid-melt tracer override: surfels with melt_mask take
     # their WORLD pose from melt_pos/melt_norm[frame] instead of the
     # rigid trajectory (render/liquid.py tracers)
@@ -140,12 +144,20 @@ def build_clip_inputs(
         bg_rows = jax.jit(PP.pack_scene_rows)(bg)
     smoke_kw = {}
     if smoke_traj is not None:
-        states, s_origin, s_extent, _s_cfg = smoke_traj
+        # 4-tuple (fixed domain) or 5-tuple with per-frame adaptive
+        # origin cells (scene_representation._smoke_trajectory)
+        states, s_origin, s_extent, _s_cfg = smoke_traj[:4]
+        origin_cells = (
+            smoke_traj[4]
+            if len(smoke_traj) > 4
+            else np.zeros((states.density.shape[0], 3), np.int32)
+        )
         smoke_kw = dict(
             smoke_density=jnp.asarray(states.density),
             smoke_temp=jnp.asarray(states.temperature),
             smoke_origin=jnp.asarray(s_origin, jnp.float32),
             smoke_extent=jnp.asarray(s_extent, jnp.float32),
+            smoke_origin_cells=jnp.asarray(origin_cells, jnp.int32),
         )
     melt_kw = {}
     if melt is not None:
@@ -316,6 +328,7 @@ def render_edited_frame_fused(
     config: RasterConfig,
     obj_dup_budget: int = 1 << 18,  # unused (kept for API stability)
     shadow_scale: int = 2,
+    smoke_cfg=None,
 ) -> jax.Array:
     """One edited frame through ONE merged rasterization (fast path).
 
@@ -347,12 +360,25 @@ def render_edited_frame_fused(
     if inp.smoke_density is not None:
         from autovfx_tpu.render import smoke as SMK
 
+        if smoke_cfg is None:
+            # noise defaults; pass the simulation's own SmokeConfig to
+            # match render_smoke_pass exactly
+            smoke_cfg = SMK.SmokeConfig()
+        origin = inp.smoke_origin
+        if inp.smoke_origin_cells is not None:
+            # adaptive-domain recentering (cells -> world units)
+            res = inp.smoke_density.shape[1]
+            cell = inp.smoke_extent / res
+            origin = origin + (
+                inp.smoke_origin_cells[frame_idx].astype(jnp.float32)
+                * cell
+            )
         g_smoke, g_fire = SMK.smoke_fire_gaussians(
             SMK.apply_density_noise(
-                inp.smoke_density[frame_idx], frame_idx, SMK.SmokeConfig()
+                inp.smoke_density[frame_idx], frame_idx, smoke_cfg
             ),
             inp.smoke_temp[frame_idx],
-            inp.smoke_origin,
+            origin,
             inp.smoke_extent,
         )
         rows_list.append(PP.pack_scene_rows(g_smoke))
@@ -398,9 +424,9 @@ def render_edited_frame_fused(
                 dup_budget=min(config.dup_budget, 1 << 18)
             ),
         )
-        frame = frame + fire_out.color * jnp.clip(
-            fire_out.alpha, 0.0, 1.0
-        )[..., None]
+        # fire_out.color over a black bg is already the premultiplied
+        # radiance Σ T·α·c — add it directly (blend_all.py:300-302)
+        frame = frame + fire_out.color
     return jnp.clip(frame, 0.0, 1.0)
 
 
@@ -410,13 +436,19 @@ def render_clip(
     config: RasterConfig,
     fused: bool = False,
     supersample: int = 1,
+    smoke_cfg=None,
 ) -> jax.Array:
     """(F, H, W, 3) edited frames, one jitted scan.
 
     ``supersample`` > 1 renders at an upscaled camera and box-filters
     down (the reference renders Blender passes at 2x and averages,
     all_rendering.py:2195-2209 / blend_all.py:21-28)."""
-    frame_fn = render_edited_frame_fused if fused else render_edited_frame
+    if fused:
+        frame_fn = functools.partial(
+            render_edited_frame_fused, smoke_cfg=smoke_cfg
+        )
+    else:
+        frame_fn = render_edited_frame
     if supersample > 1:
         inp = inp._replace(
             cams=inp.cams.replace(

@@ -276,12 +276,12 @@ def _main_edit(g, cams, cfg, extras):
         CL.render_edited_frame_fused if fused else CL.render_edited_frame
     )
 
-    def make_build_run(inputs):
+    def make_build_run(inputs, **frame_kw):
         def build_run(n):
             @jax.jit
             def run():
                 def frame(carry, i):
-                    f = frame_fn(inputs, i % FRAMES, cfg)
+                    f = frame_fn(inputs, i % FRAMES, cfg, **frame_kw)
                     return carry + f.mean(), None
 
                 acc, _ = jax.lax.scan(
@@ -336,7 +336,8 @@ def _main_edit(g, cams, cfg, extras):
                 melt=melt,
             )
             dt_fx = _time_diff_scan(
-                make_build_run(inp_fx), FRAMES, 4 * FRAMES
+                make_build_run(inp_fx, smoke_cfg=s_cfg), FRAMES,
+                4 * FRAMES,
             )
             extras["edit_effects_fps"] = round(1.0 / dt_fx, 2)
         except Exception as e:  # noqa: BLE001

@@ -45,9 +45,8 @@ def main():
         import lpips as lpips_pkg
 
         model = lpips_pkg.LPIPS(net="vgg")
-        vgg_state = _to_np(model.net.state_dict())
-        # lpips stores the backbone under slice wrappers; rebuild the
-        # flat torchvision naming from torchvision directly
+        # lpips stores the backbone under slice wrappers; pull the flat
+        # torchvision naming from torchvision directly
         from torchvision.models import vgg16
 
         vgg_state = _to_np(vgg16(weights="IMAGENET1K_V1").state_dict())
