@@ -10,6 +10,10 @@ run() {
   echo >> "$log"
 }
 echo "==== $(date) ====" >> "$log"
+# 0. pre-flight: small-scale Mosaic compile check of the experimental
+# kernel variants (fails fast instead of burning the matrix)
+run BENCH_MODE=view BENCH_GAUSSIANS=50000 BENCH_WIDTH=256 BENCH_HEIGHT=256 BENCH_FRAMES=2 AUTOVFX_BLEND_ALGO=linear
+run BENCH_MODE=view BENCH_GAUSSIANS=50000 BENCH_WIDTH=256 BENCH_HEIGHT=256 BENCH_FRAMES=2 BENCH_FEATURE_GATHER=rows
 # 1. headline (current defaults) + effects + physics
 run BENCH_MODE=all
 # 2. blend algo: linear-space v3 vs log-space fast
