@@ -493,3 +493,98 @@ class TestWaymoPrompt:
                     node.func, ast.Name
                 ):
                     assert node.func.id in allowed, node.func.id
+
+
+class TestKitchenSink:
+    """Cross-feature integration: mirror material + melting object +
+    burning object + indoor emitter + white background in ONE scene —
+    catches interactions the per-feature tests can't."""
+
+    @pytest.mark.slow
+    def test_everything_at_once_renders_finite(self, tmp_path):
+        from autovfx_tpu.core import cameras as C, ply_io
+        from autovfx_tpu.edit import edit_utils as EU, mesh_io
+        from autovfx_tpu.edit.scene_representation import (
+            SceneParams,
+            SceneRepresentation,
+        )
+        from autovfx_tpu.utils.synthetic import make_gaussians
+
+        root = str(tmp_path)
+        g = make_gaussians(120, jax.random.PRNGKey(0), spread=1.5)
+        g = g.replace(xyz=g.xyz.at[:, 2].multiply(0.1))
+        ply_io.save_ply(os.path.join(root, "scene.ply"), g)
+        mesh_io.save_obj(os.path.join(root, "scene_mesh.obj"), ground_mesh())
+        # emitter panel above the scene
+        from autovfx_tpu.edit.mesh_io import Mesh
+
+        ev = np.array(
+            [[-0.3, -0.3, 1.2], [0.3, -0.3, 1.2], [0.3, 0.3, 1.2],
+             [-0.3, 0.3, 1.2]], np.float32
+        )
+        ef = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+        emitter_path = os.path.join(root, "emitter.obj")
+        mesh_io.save_obj(emitter_path, Mesh(ev, ef))
+        cams = C.stack_cameras(
+            [
+                C.look_at_camera(
+                    [3, 0.2 * i, 1.6], [0, 0, 0], [0, 0, 1],
+                    fx=40.0, fy=40.0, width=48, height=36,
+                )
+                for i in range(6)
+            ]
+        )
+        os.makedirs(os.path.join(root, "custom_camera_path"), exist_ok=True)
+        C.save_custom_trajectory(
+            os.path.join(root, "custom_camera_path/t.json"), cams
+        )
+        box = os.path.join(root, "box.obj")
+        mesh_io.save_obj(box, box_mesh(0.5, color=(0.8, 0.8, 0.8)))
+        scene = SceneRepresentation(
+            SceneParams(
+                source_path=root, model_path=root,
+                gaussians_ckpt_path=os.path.join(root, "scene.ply"),
+                scene_mesh_path=os.path.join(root, "scene_mesh.obj"),
+                custom_traj_name="t",
+                cache_dir=os.path.join(root, "cache"),
+                dup_budget=1 << 15,
+                light_samples=4,
+                num_frames=6,
+                is_indoor_scene=True,
+                emitter_mesh_path=emitter_path,
+                white_background=True,
+            )
+        )
+        from autovfx_tpu.edit.edit_ir import default_object_info
+
+        def make(oid, pos):
+            o = default_object_info()
+            o["object_id"] = oid
+            o["object_name"] = oid
+            o["object_path"] = box
+            o["pos"] = np.array(pos, np.float32)
+            o["scale"] = 0.35
+            return o
+
+        mirror = make("mirror", [0, -0.6, 0.2])
+        mat = EU.init_material()
+        mat.is_mirror = True
+        mirror = EU.apply_material(mirror, mat)
+        EU.insert_object(scene, mirror)
+
+        melty = make("melty", [0, 0.6, 0.2])
+        melty = EU.make_melting(melty)
+        EU.insert_object(scene, melty)
+        EU.add_event(scene, melty, "melting", start_frame=1)
+
+        burny = make("burny", [0.6, 0, 0.2])
+        burny = EU.add_fire(scene, burny)
+        EU.insert_object(scene, burny)
+
+        frames = scene.render_scene(save=False)
+        assert frames.shape == (6, 36, 48, 3)
+        assert np.isfinite(frames).all()
+        # white background shows through uncovered pixels
+        assert frames.max() > 0.9
+        # the clip animates (melt + fire + smoke evolve)
+        assert np.abs(frames[-1] - frames[0]).max() > 0.05
