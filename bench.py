@@ -157,10 +157,55 @@ def _bench_physics(world):
     return 1.0 / dt_sub
 
 
+def _probe_device(timeout_s: int = 180) -> bool:
+    """Fail fast (in a subprocess) when the axon tunnel is dead — a hung
+    device op inside this process is not interruptible, so a silent
+    tunnel outage would otherwise stall the whole bench with no output."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "(jnp.ones((256,256))@jnp.ones((256,256))).block_until_ready()"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     from autovfx_tpu.core import cameras as C
     from autovfx_tpu.ops.rasterize import RasterConfig, rasterize
     from autovfx_tpu.utils.synthetic import make_garden_like
+
+    forced_cpu = (
+        (jax.config.jax_platforms or "").startswith("cpu")
+        or os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+    )
+    if (
+        os.environ.get("BENCH_SKIP_PROBE") != "1"
+        and not forced_cpu
+        and not _probe_device()
+    ):
+        print(
+            json.dumps(
+                {
+                    "metric": "device unreachable (axon tunnel down; "
+                    "trivial matmul hung > 180 s in a probe subprocess)",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "error": "tpu_unreachable",
+                }
+            ),
+            flush=True,
+        )
+        return
 
     backend = "pallas" if jax.default_backend() == "tpu" else "ref"
     g = make_garden_like(N_GAUSS, extent=2.67)
