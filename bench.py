@@ -157,15 +157,22 @@ def _bench_physics(world):
     return 1.0 / dt_sub
 
 
-def _probe_device(timeout_s: int = 180) -> bool:
+def _probe_device(timeout_s: int | None = None) -> bool:
     """Fail fast (in a subprocess) when the axon tunnel is dead — a hung
     device op inside this process is not interruptible, so a silent
-    tunnel outage would otherwise stall the whole bench with no output."""
+    tunnel outage would otherwise stall the whole bench with no output.
+
+    A COLD tunnel can take >3 min on its first compile+fetch, so the
+    probe uses the persistent compile cache and a generous default."""
     import subprocess
     import sys
 
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT", 360))
     code = (
-        "import jax, jax.numpy as jnp;"
+        "import os, jax, jax.numpy as jnp;"
+        "jax.config.update('jax_compilation_cache_dir',"
+        " os.path.expanduser('~/.jax_cache'));"
         "(jnp.ones((256,256))@jnp.ones((256,256))).block_until_ready()"
     )
     try:
