@@ -128,7 +128,13 @@ def bin_splats(
     # (x9|y9|w6|h5), cutting the presort from 5 to 3 streams.
     live = splats.tiles_touched > 0
     depth_key = jnp.where(live, splats.depth, jnp.float32(jnp.inf))
-    compact = tiles_x < 64 and tiles_y < 32
+    import os
+
+    compact = (
+        tiles_x < 64
+        and tiles_y < 32
+        and os.environ.get("AUTOVFX_COMPACT_PRESORT", "1") != "0"
+    )
     if compact:
         rect_w0 = jnp.maximum(
             splats.tile_max[:, 0] - splats.tile_min[:, 0], 1
