@@ -394,12 +394,15 @@ def _fwd_kernel_v3(
         om = 1.0 - alpha  # in [0.01, 1]
 
         # segmented shift-multiply scan: inclusive cumprod within each
-        # 8-row group (circular wrap is masked off by the row%8 tests)
+        # 8-row group (circular wrap is masked off by the row%8 tests).
+        # pltpu.roll is Mosaic's native sublane rotate; jnp.roll lowers
+        # to unaligned sublane slices that abort at runtime on real TPUs
+        # (InvalidArgument) even though they interpret fine.
         x = om
-        x = x * jnp.where(rows >= 1, jnp.roll(x, 1, axis=0), 1.0)
-        x = x * jnp.where(rows >= 2, jnp.roll(x, 2, axis=0), 1.0)
-        cp = x * jnp.where(rows >= 4, jnp.roll(x, 4, axis=0), 1.0)
-        excl = jnp.where(rows >= 1, jnp.roll(cp, 1, axis=0), 1.0)
+        x = x * jnp.where(rows >= 1, pltpu.roll(x, 1, 0), 1.0)
+        x = x * jnp.where(rows >= 2, pltpu.roll(x, 2, 0), 1.0)
+        cp = x * jnp.where(rows >= 4, pltpu.roll(x, 4, 0), 1.0)
+        excl = jnp.where(rows >= 1, pltpu.roll(cp, 1, 0), 1.0)
 
         gp = _mm_f32(gsel, cp)  # (G, P) inclusive group products
         lgp = jnp.log(gp)  # >= 8·log(0.01): no underflow
