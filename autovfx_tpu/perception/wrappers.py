@@ -164,18 +164,26 @@ def merge_instances(tracking_dir: str, overlap_ratio: float = 0.7) -> List[int]:
 
 
 def inpaint_img_with_lama(
-    img: np.ndarray, mask: np.ndarray, *, cache_path: Optional[str] = None
+    img: np.ndarray, mask: np.ndarray, *, cache_path: Optional[str] = None,
+    ckpt_path: Optional[str] = None,
 ) -> np.ndarray:
     """LaMa inpainting (inpaint/lama_inpaint.py:26-82).
 
-    Uses a precomputed result at ``cache_path`` when present; otherwise
-    falls back to a fast Navier-Stokes-style OpenCV inpaint (cv2.INPAINT_TELEA)
-    — a deterministic, dependency-free stand-in with the same contract.
+    Resolution order: a precomputed result at ``cache_path``; the native
+    JAX big-lama net (``lama_jax``) when a checkpoint is installed
+    (``ckpt_path`` arg, $AUTOVFX_LAMA_CKPT, or ~/.cache/autovfx/big-lama);
+    last resort a fast OpenCV inpaint (cv2.INPAINT_TELEA) — deterministic
+    and dependency-free, with the same contract.
     """
     if cache_path and os.path.exists(cache_path):
         from PIL import Image
 
         return np.asarray(Image.open(cache_path).convert("RGB"))
+    from autovfx_tpu.perception import lama_jax
+
+    out = lama_jax.try_inpaint(img, mask, ckpt_path=ckpt_path)
+    if out is not None:
+        return out
     import cv2
 
     img8 = (

@@ -186,6 +186,29 @@ def _probe_device(timeout_s: int | None = None) -> bool:
 
 
 def main():
+    """Emit at least one JSON line no matter what: a backend error mid-run
+    (e.g. the axon tunnel dying between the probe and the timed section,
+    as in BENCH_r03) must still produce an honest ``{"error": ...}`` line
+    instead of a bare traceback with rc=1."""
+    try:
+        _main_guarded()
+    except BaseException as e:  # noqa: BLE001 — the JSON line IS the report
+        print(
+            json.dumps(
+                {
+                    "metric": "bench aborted by in-run backend error",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            ),
+            flush=True,
+        )
+        raise
+
+
+def _main_guarded():
     from autovfx_tpu.core import cameras as C
     from autovfx_tpu.ops.rasterize import RasterConfig, rasterize
     from autovfx_tpu.utils.synthetic import make_garden_like
