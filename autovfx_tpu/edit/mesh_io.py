@@ -409,6 +409,8 @@ def load_glb(path: str) -> Mesh:
 
 
 def load_mesh(path: str) -> Mesh:
+    """Load any reference-supported asset format
+    (all_rendering.py:433-468 imports glb/fbx/ply/obj/.blend)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".obj":
         return load_obj(path)
@@ -416,4 +418,20 @@ def load_mesh(path: str) -> Mesh:
         return load_ply_mesh(path)
     if ext in (".glb", ".gltf"):
         return load_glb(path)
+    if ext == ".fbx":
+        from autovfx_tpu.edit.fbx_io import load_fbx
+
+        return load_fbx(path)
+    if ext == ".blend":
+        # The reference itself sidesteps .blend outside Blender by
+        # switching to a same-stem .glb (gaussians_utils.py:9-12); we
+        # accept any sibling in a format we parse natively.
+        stem = os.path.splitext(path)[0]
+        for alt in (".glb", ".gltf", ".obj", ".ply", ".fbx"):
+            if os.path.exists(stem + alt):
+                return load_mesh(stem + alt)
+        raise ValueError(
+            f"native .blend parsing is unsupported; place a converted "
+            f"sibling next to it (e.g. {stem}.glb)"
+        )
     raise ValueError(f"unsupported mesh format: {path}")

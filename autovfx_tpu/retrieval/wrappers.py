@@ -31,12 +31,37 @@ class AssetNotFound(RuntimeError):
     pass
 
 
+class _hub_offline_first:
+    """Force HF-hub loads to resolve from the local cache only, unless
+    the deployment opts into downloads (AUTOVFX_ALLOW_HUB_DOWNLOAD=1).
+    Without this, a zero-egress host spends ~25 s/file in hub retry
+    backoff before our fallback path gets control."""
+
+    KEYS = ("HF_HUB_OFFLINE", "TRANSFORMERS_OFFLINE")
+
+    def __enter__(self):
+        self.saved = {k: os.environ.get(k) for k in self.KEYS}
+        if os.environ.get("AUTOVFX_ALLOW_HUB_DOWNLOAD") != "1":
+            for k in self.KEYS:
+                os.environ[k] = "1"
+        return self
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        return False
+
+
 @lru_cache(maxsize=1)
 def _sbert():
     try:
-        from sentence_transformers import SentenceTransformer
+        with _hub_offline_first():
+            from sentence_transformers import SentenceTransformer
 
-        return SentenceTransformer("all-MiniLM-L6-v2")
+            return SentenceTransformer("all-MiniLM-L6-v2")
     except Exception:
         return None
 
@@ -163,17 +188,72 @@ def glb_has_animation(path: str) -> bool:
     return False
 
 
+def _retrieve_via_index(object_name: str, is_animated: bool) -> Optional[Dict]:
+    """Precomputed-embedding-DB path (wrapper_objaverse.py:141-223):
+    index search (top-10, cosine ≥ 0.6, animated mask = the separate
+    animated db) → resolve glbs via the download client → CLIP re-rank
+    → DOWNLOAD_TOP_K=5 random pick.  Returns None when no index is
+    configured or nothing resolves, so the local-library path takes
+    over."""
+    from autovfx_tpu.retrieval import objaverse_index as OI
+
+    idx_path = OI.default_index_path()
+    if not idx_path:
+        return None
+    try:
+        index = OI.ObjaverseIndex.load(idx_path)
+        uids, dists = index.search(
+            object_name, top_k=10, cosine_threshold=0.6,
+            animated_only=is_animated,
+        )
+    except Exception as e:  # noqa: BLE001 — bad index → local fallback
+        print(f"# objaverse index unusable ({e}); using local library")
+        return None
+    if not uids:
+        return None
+    cache = os.environ.get("AUTOVFX_CACHE_DIR", "_cache")
+    paths = OI.download_objects(uids, os.path.join(cache, "assets"))
+    resolved = [(u, d) for u, d in zip(uids, dists) if u in paths]
+    if not resolved:
+        return None
+    # GObjaverse pre-rendered views feed the CLIP re-rank when the index
+    # carries path fragments (ref :175-201); otherwise clip_rerank
+    # renders local turntable previews itself.
+    OI.download_gobjaverse_previews(
+        index.gobj_paths([u for u, _ in resolved]),
+        os.path.join(cache, "assets_rendering_gobjaverse"),
+    )
+    scores = clip_rerank(
+        object_name,
+        [paths[u] for u, _ in resolved],
+        np.asarray([d for _, d in resolved]),
+    )
+    order = np.argsort(-scores)[:5]
+    uid = resolved[int(random.choice(list(order)))][0]
+    return {
+        "object_name": object_name,
+        "object_id": uid,
+        "object_path": paths[uid],
+    }
+
+
 def retrieve_asset_from_objaverse(
     object_name: str, is_animated: bool = False
 ) -> Dict:
     """SBERT top-10 → CLIP image-text re-rank → top-5 random pick
     (wrapper_objaverse.py:141-223).
 
-    ``is_animated=True`` restricts candidates to glTF assets carrying
-    animation channels (the animated-embedding-db analog).  Local
-    library first; the network Objaverse path requires the objaverse
-    package + egress and raises AssetNotFound here otherwise.
+    Resolution order: (1) a precomputed embedding index
+    (``$AUTOVFX_OBJAVERSE_INDEX`` / ``_cache/objaverse_index.npz`` —
+    the reference's SBERT-db+SCaNN path, built by
+    ``scripts/build_objaverse_index.py``), (2) the local asset library.
+    ``is_animated=True`` restricts candidates to the index's animated
+    mask, or to glTF assets carrying animation channels locally (the
+    animated-embedding-db analog).
     """
+    via_index = _retrieve_via_index(object_name, is_animated)
+    if via_index is not None:
+        return via_index
     assets = _local_assets()
     if is_animated:
         assets = [p for p in assets if glb_has_animation(p)]
