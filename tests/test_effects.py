@@ -119,6 +119,7 @@ class TestSmoke:
         com_z_late = (d[-1].sum((0, 1)) * zs).sum() / max(d[-1].sum(), 1e-9)
         assert com_z_late > com_z_early + 1.0
 
+    @pytest.mark.slow
     def test_to_gaussians_renderable(self):
         from autovfx_tpu.core import cameras as C
         from autovfx_tpu.ops.rasterize import RasterConfig, rasterize
@@ -249,6 +250,7 @@ class TestSmoke:
 
 
 class TestPanorama:
+    @pytest.mark.slow
     def test_covers_sphere(self):
         from autovfx_tpu.ops.rasterize import RasterConfig
         from autovfx_tpu.render.panorama import render_panorama
@@ -382,6 +384,7 @@ class TestSHRotation:
 
 
 class TestBreakEvent:
+    @pytest.mark.slow
     def test_drop_and_break(self, tmp_path):
         """Break event: parent simulates, shatters at the break frame,
         debris appears in rb_transform and the render."""
@@ -519,6 +522,7 @@ class TestCollisionFracture:
             obj = EU.allow_fracture(obj)
         return obj
 
+    @pytest.mark.slow
     def test_allow_fracture_shatters_on_impact(self, tmp_path):
         from autovfx_tpu.edit import edit_utils as EU
 
@@ -636,6 +640,7 @@ class TestMeltGaussians:
             < np.asarray(g.opacity).mean()
         )
 
+    @pytest.mark.slow
     def test_from_3dgs_melt_integration(self, tmp_path):
         """_merge_object_gaussians applies the melt field to a
         from_3DGS object under a melting event."""
@@ -693,6 +698,7 @@ class TestLiquidMeltIntegration:
     the melt event drives the thin-film solve, tracers replace the
     analytic slump, and per-frame melt state drives the shadow hull."""
 
+    @pytest.mark.slow
     def test_melting_object_spreads_and_shadow_shrinks(self, tmp_path):
         import sys
 
@@ -790,6 +796,7 @@ class TestLiquidMeltIntegration:
         shadowedN = (ratioN < 0.98).mean()
         assert shadowedN <= shadowed0 + 0.05, (shadowed0, shadowedN)
 
+    @pytest.mark.slow
     def test_melting_3dgs_object_tracers(self, tmp_path):
         """from_3DGS melting path: splats follow the liquid tracers."""
         import sys
@@ -907,6 +914,7 @@ class TestAdaptiveSmokeDomain:
         col_f = d_f[-1].sum((0, 1))
         assert col_f.sum() > 0
 
+    @pytest.mark.slow
     def test_render_smoke_pass_consumes_origin_cells(self, tmp_path):
         """5-tuple trajectory cache renders without error."""
         import sys

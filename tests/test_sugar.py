@@ -79,6 +79,7 @@ class TestRegularization:
         g_half = g.replace(opacity_logit=jnp.zeros((g.capacity,)))
         assert float(REG.opacity_entropy_loss(g_half)) > 0.6
 
+    @pytest.mark.slow
     def test_density_reg_differentiable(self):
         g = sphere_shell_gaussians(n=200)
         cam = C.look_at_camera(
@@ -138,6 +139,7 @@ class TestMarchingTets:
 
 
 class TestLevelSet:
+    @pytest.mark.slow
     def test_sphere_level_points(self):
         g = sphere_shell_gaussians(n=800)
         cam = C.look_at_camera(
@@ -327,6 +329,7 @@ class TestRefineTrain:
         bumpy = RT.normal_consistency_loss(bump, f, pairs)
         assert float(bumpy) > float(smooth)
 
+    @pytest.mark.slow
     def test_refine_improves_psnr_and_exports(self, tmp_path):
         from autovfx_tpu.ops.rasterize import rasterize
         from autovfx_tpu.sugar.refine import (
@@ -414,6 +417,7 @@ class TestTSDFFusion:
         )
         return g, cams
 
+    @pytest.mark.slow
     def test_tsdf_mesh_sane(self):
         """TSDF fusion produces a clean near-spherical surface."""
         from autovfx_tpu.sugar.sdf_fusion import tsdf_mesh
@@ -477,6 +481,7 @@ class TestTSDFFusion:
         comps = {find(i) for i in np.unique(f_p.reshape(-1))}
         assert len(comps) <= 3
 
+    @pytest.mark.slow
     def test_tsdf_watertight_interior(self):
         """φ is negative inside the sphere, positive near the cameras."""
         from autovfx_tpu.sugar.sdf_fusion import (
