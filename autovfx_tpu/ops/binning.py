@@ -315,8 +315,15 @@ def required_budget(
     return jnp.sum(splats.tiles_touched) + tiles_x * tiles_y * chunk
 
 
-def round_budget(n: int, multiple: int = 4 * CHUNK, slack: float = 1.25) -> int:
-    """Host helper: pad a measured duplicate count to a reusable budget."""
+def round_budget(n: int, multiple: int | None = None, slack: float = 1.25) -> int:
+    """Host helper: pad a measured duplicate count to a reusable budget.
+
+    The default multiple keeps the budget divisible by the Pallas fill
+    step (``fill_pallas.C_STEP``) so binning stays on the fast path."""
     import math
 
+    if multiple is None:
+        from autovfx_tpu.ops import fill_pallas as FP
+
+        multiple = max(4 * CHUNK, FP.C_STEP)
     return int(math.ceil(n * slack / multiple) * multiple)

@@ -136,7 +136,7 @@ def _fwd_kernel(
     tile_start_ref, tile_chunks_ref, feat_ref, out_ref, fbuf, sems,
     *, tiles_x: int, tile: int, chunk: int, packed: bool = False,
     packed6: bool = False, prefix_split: int = 4,
-    exact_freeze: bool = True, rows_layout: bool = False,
+    exact_freeze: bool = True,
 ):
     """``exact_freeze=False`` (packed fast path): skip the per-(dup,
     pixel) test_T<1e-4 freeze chain (~7 of ~20 VPU ops/pair) and exit
@@ -159,11 +159,7 @@ def _fwd_kernel(
 
     def chunk_dma(slot, c):
         off = pl.multiple_of(start + c * chunk, chunk)
-        src = (
-            feat_ref.at[pl.ds(off, chunk), :]
-            if rows_layout
-            else feat_ref.at[:, pl.ds(off, chunk)]
-        )
+        src = feat_ref.at[:, pl.ds(off, chunk)]
         return pltpu.make_async_copy(src, fbuf.at[slot], sems.at[slot])
 
     @pl.when(n_chunks > 0)
@@ -184,10 +180,6 @@ def _fwd_kernel(
 
         chunk_dma(slot, c).wait()
         f = fbuf[slot]  # (FEAT, FEAT8 or FEAT6, CHUNK)
-        if rows_layout:
-            # (chunk, 8) row-major block -> (8, chunk) in VMEM
-            f = jnp.transpose(f, (1, 0))
-
         if packed6:
             ca, cb = _unpack_bf16_pair(f[2:3])
             cc, lop = _unpack_bf16_pair(f[3:4])
@@ -315,7 +307,7 @@ def _mm_f32(a, b):
 def _fwd_kernel_v3(
     tile_start_ref, tile_chunks_ref, feat_ref, out_ref, fbuf, sems,
     *, tiles_x: int, tile: int, chunk: int, packed: bool = False,
-    packed6: bool = False, rows_layout: bool = False,
+    packed6: bool = False,
 ):
     """Linear-space transmittance forward blend.
 
@@ -356,11 +348,7 @@ def _fwd_kernel_v3(
 
     def chunk_dma(slot, c):
         off = pl.multiple_of(start + c * chunk, chunk)
-        src = (
-            feat_ref.at[pl.ds(off, chunk), :]
-            if rows_layout
-            else feat_ref.at[:, pl.ds(off, chunk)]
-        )
+        src = feat_ref.at[:, pl.ds(off, chunk)]
         return pltpu.make_async_copy(src, fbuf.at[slot], sems.at[slot])
 
     @pl.when(n_chunks > 0)
@@ -381,9 +369,6 @@ def _fwd_kernel_v3(
 
         chunk_dma(slot, c).wait()
         f = fbuf[slot]
-        if rows_layout:
-            f = jnp.transpose(f, (1, 0))
-
         if packed6:
             ca, cb = _unpack_bf16_pair(f[2:3])
             cc, lop = _unpack_bf16_pair(f[3:4])
@@ -478,32 +463,29 @@ def _blend_core(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
 
 
 def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
-                    chunk, algo: str | None = None,
-                    rows_layout: bool = False):
-    if algo is None:
-        import os
+                    chunk, algo: str | None = None):
+    import os
 
+    if algo is None:
         # packed inference defaults to the chunk-freeze fast kernel;
         # the f32/training path keeps exact CUDA freeze semantics
-        fr = feat.shape[1] if rows_layout else feat.shape[0]
+        fr = feat.shape[0]
         default = "fast" if fr in (FEAT8, FEAT6) else "log"
         algo = os.environ.get("AUTOVFX_BLEND_ALGO", default)
     P = tile * tile  # noqa: N806
-    feat_rows = feat.shape[1] if rows_layout else feat.shape[0]
+    feat_rows = feat.shape[0]
     packed = feat_rows == FEAT8
     packed6 = feat_rows == FEAT6
-    if packed6:
-        # Mosaic DMA slices must be 8-sublane aligned: pad the 6 packed
-        # rows with two zero rows (sequential write — the win was the
-        # 25 % fewer RANDOM row-gathers feeding this array)
-        assert not rows_layout
+    if packed6 and os.environ.get("AUTOVFX_PACK6_DIRECT", "0") != "1":
+        # Slicing 6 sublanes out of an (8, K)-tiled ref needs 8-sublane
+        # alignment, so the historical path pads with two zero rows
+        # (sequential write).  AUTOVFX_PACK6_DIRECT=1 skips the pad and
+        # DMAs the natively-(6, K) array full-extent in dim 0 instead.
         feat = jnp.concatenate(
             [feat, jnp.zeros((2, feat.shape[1]), feat.dtype)], axis=0
         )
         feat_rows = FEAT8
-    fbuf_shape = (
-        (2, chunk, feat_rows) if rows_layout else (2, feat_rows, chunk)
-    )
+    fbuf_shape = (2, feat_rows, chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -528,7 +510,6 @@ def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
         functools.partial(
             kernel, tiles_x=tiles_x, tile=tile, chunk=chunk,
             packed=packed or packed6, packed6=packed6,
-            rows_layout=rows_layout,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (n_tiles, OUT_ROWS, P), jnp.float32

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 SUB = 128  # output slots per group (window bound = strict monotonicity)
 WIN = 2 * SUB  # window entries per group (<=128 starts + <=127 alignment)
-SUBS_PER_STEP = 16  # groups fused per grid step (amortize DMA + overhead)
+SUBS_PER_STEP = 32  # groups fused per grid step (amortize DMA + overhead)
 C_STEP = SUB * SUBS_PER_STEP  # output slots per grid step
 W_STEP = C_STEP + WIN  # input window per grid step
 EXCLUDED = jnp.int32(1 << 30)  # start sentinel: entry never contributes
@@ -46,9 +46,16 @@ NUM_DIGITS = 3  # 8-bit digits per stream (values < 2**24)
 
 
 def _fill_kernel(
-    lo_ref, starts_ref, digits_ref, out_ref, sbuf, dbuf, carry, sems,
+    lo_ref, carry_ref, starts_ref, digits_ref, out_ref, sbuf, dbuf, sems,
     *, n_steps: int, n_rows: int, n_streams: int,
 ):
+    """Grid steps are INDEPENDENT (``parallel`` semantics): the running
+    digit prefix entering each step is not accumulated across steps but
+    read from ``carry_ref`` — it equals digits(values[g(t*C_STEP)]),
+    precomputed on the XLA side with one searchsorted + tiny gather.
+    (The r3 kernel serialized ~900 steps through a carry scratch; the
+    sequential grid was the fill's actual cost at Garden scale, not the
+    matmuls or DMA.)"""
     t = pl.program_id(0)
 
     def base_of(step):
@@ -71,7 +78,6 @@ def _fill_kernel(
 
     @pl.when(t == 0)
     def _():
-        carry[...] = jnp.zeros_like(carry)
         for d in dmas(0, 0):
             d.start()
 
@@ -84,6 +90,7 @@ def _fill_kernel(
 
     for d in dmas(slot, t):
         d.wait()
+    carry = carry_ref[0]  # (n_rows, 1) digit prefix entering this step
 
     s_full = sbuf[slot]  # (1, W_STEP) int32, window-relative order
 
@@ -120,8 +127,8 @@ def _fill_kernel(
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (n_rows, SUB) digit prefix sums
-        res = mm + carry[...]
-        carry[...] = res[:, SUB - 1 : SUB]
+        res = mm + carry
+        carry = res[:, SUB - 1 : SUB]
         combined = jax.lax.dot_general(
             rmat,
             res.astype(jnp.bfloat16),
@@ -135,13 +142,18 @@ def _fill_kernel(
     jax.jit, static_argnames=("k", "n_rows", "n_streams", "interpret")
 )
 def _fill_call(
-    starts_pad, digits_pad, lo, k, n_rows, n_streams, interpret=False
+    starts_pad, digits_pad, lo, carry_in, k, n_rows, n_streams,
+    interpret=False,
 ):
     n_steps = k // C_STEP
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
         in_specs=[
+            pl.BlockSpec(
+                (1, n_rows, 1), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -152,7 +164,6 @@ def _fill_call(
         scratch_shapes=[
             pltpu.VMEM((2, 1, W_STEP), jnp.int32),
             pltpu.VMEM((2, n_rows, W_STEP), jnp.bfloat16),
-            pltpu.VMEM((n_rows, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -165,11 +176,13 @@ def _fill_call(
         ),
         out_shape=jax.ShapeDtypeStruct((n_streams, k), jnp.float32),
         grid_spec=grid_spec,
+        # NOT "parallel": the cross-step double-buffer (step t waits the
+        # DMA started at step t-1) requires in-order grid execution
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
         interpret=interpret,
-    )(lo, starts_pad, digits_pad)
+    )(lo, carry_in, starts_pad, digits_pad)
 
 
 def monotone_fill(
@@ -216,8 +229,21 @@ def monotone_fill(
     bounds = jnp.arange(k // C_STEP + 1, dtype=jnp.int32) * C_STEP
     lo = jnp.searchsorted(starts, bounds, side="left").astype(jnp.int32)
 
+    # per-step carry = digits of the value at the last start < bound
+    # (grid steps are independent: no sequential carry in the kernel)
+    g_in = lo[: k // C_STEP] - 1  # (n_steps,)
+    dig_abs = digs.reshape(NUM_DIGITS * n_streams, m)  # row r = d*S + s
+    carry_rows = jnp.where(
+        g_in[None, :] >= 0,
+        jnp.take(dig_abs, jnp.maximum(g_in, 0), axis=1),
+        0,
+    ).astype(jnp.float32)  # (rows, n_steps)
+    carry_in = jnp.zeros(
+        (k // C_STEP, n_rows, 1), jnp.float32
+    ).at[:, : dig_abs.shape[0], 0].set(carry_rows.T)
+
     out = _fill_call(
-        starts_pad, digits_pad, lo, k, n_rows, n_streams,
+        starts_pad, digits_pad, lo, carry_in, k, n_rows, n_streams,
         interpret=interpret,
     )  # (n_streams, k) f32
     return [out[s].astype(jnp.int32) for s in range(n_streams)]

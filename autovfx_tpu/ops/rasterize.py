@@ -40,12 +40,6 @@ class RasterConfig:
     # inference only); "bf16x" additionally packs conic/log-opacity
     # (6-row gather — leanest; conic alpha error < 0.5 %)
     feature_pack: str = flax.struct.field(pytree_node=False, default="f32")
-    # "cols": feat stays (R, K) field-major and the dup gather is R*K
-    # scalar reads (PERF.md: 8.5 ms at Garden scale). "rows": feat is
-    # (K, R) row-major so the gather is K contiguous 32-byte row reads;
-    # the blend kernel transposes each (chunk, R) block in VMEM.
-    # bf16-packed pallas inference path only.
-    feature_gather: str = flax.struct.field(pytree_node=False, default="cols")
 
 
 class RenderOutput(NamedTuple):
@@ -129,18 +123,10 @@ feature packing through the fused Pallas kernel (inference fast path;
         splats, cam.width, cam.height, config.dup_budget,
         tile=config.tile, chunk=config.chunk,
     )
-    rows_gather = (
-        config.feature_gather == "rows"
-        and packed
-        and config.feature_pack == "bf16"
-        and backend == "pallas"
-    )
-    if rows_gather:
-        # one K-row gather of contiguous 32B rows instead of 8·K
-        # scattered 4B reads; the kernel transposes per chunk in VMEM
-        feat_dup = feat_g.T[binned.gid]  # (K, 8)
-    else:
-        feat_dup = feat_g[:, binned.gid]  # (16 or 8, K)
+    # (16/8/6, K) dup gather; a (K, R) row-major gather variant was
+    # tried in r3 and is unbuildable: Mosaic requires lane-dim slices
+    # aligned to the 128-lane tiling, so the (K, 8) layout pads 16x
+    feat_dup = feat_g[:, binned.gid]
 
     tx, ty = binned.num_tiles_x, binned.num_tiles_y
     if backend == "pallas":
@@ -149,7 +135,6 @@ feature packing through the fused Pallas kernel (inference fast path;
             out_rows = blend_pallas._blend_fwd_call(
                 feat_dup, binned.tile_start, binned.tile_chunks,
                 n_tiles, tx, config.tile, config.chunk,
-                rows_layout=rows_gather,
             )
         else:
             out_rows = blend_pallas._blend_core(

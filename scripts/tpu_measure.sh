@@ -13,14 +13,13 @@ echo "==== $(date) ====" >> "$log"
 # 0. pre-flight: small-scale Mosaic compile check of the experimental
 # kernel variants (fails fast instead of burning the matrix)
 run BENCH_MODE=view BENCH_GAUSSIANS=50000 BENCH_WIDTH=256 BENCH_HEIGHT=256 BENCH_FRAMES=2 AUTOVFX_BLEND_ALGO=linear
-run BENCH_MODE=view BENCH_GAUSSIANS=50000 BENCH_WIDTH=256 BENCH_HEIGHT=256 BENCH_FRAMES=2 BENCH_FEATURE_GATHER=rows
+# (the r3 "rows" feature-gather experiment is gone: Mosaic requires
+# lane-dim slices aligned to the 128-lane tiling — cannot compile)
 # 1. headline (current defaults) + effects + physics
 run BENCH_MODE=all
 # 2. blend algo: linear-space v3 vs log-space fast
 run BENCH_MODE=view AUTOVFX_BLEND_ALGO=linear
 run BENCH_MODE=view AUTOVFX_BLEND_ALGO=fast
-# 3. feature gather: rows vs cols
-run BENCH_MODE=view BENCH_FEATURE_GATHER=rows
 # 4. best-of combos on the edit headline
 run BENCH_MODE=edit AUTOVFX_BLEND_ALGO=linear
 # 5. BASELINE configs 2/3 evidence

@@ -246,66 +246,3 @@ class TestPackedFastPath:
         np.testing.assert_allclose(np.asarray(lo), np.asarray(b), rtol=4e-3)
 
 
-class TestRowsLayoutGather:
-    """feature_gather="rows": (K, 8) row-major dup features + in-kernel
-    transpose must match the (8, K) column layout exactly."""
-
-    def test_rows_matches_cols_full_render(self):
-        from autovfx_tpu.ops.rasterize import RasterConfig, rasterize
-
-        g, cam = make_scene(n=300, width=64, height=48, key=3)
-        base = RasterConfig(
-            dup_budget=1 << 14, backend="pallas", feature_pack="bf16",
-        )
-        out_c = rasterize(g, cam, config=base)
-        out_r = rasterize(
-            g, cam, config=base.replace(feature_gather="rows")
-        )
-        np.testing.assert_allclose(
-            np.asarray(out_r.color), np.asarray(out_c.color), atol=1e-6
-        )
-        np.testing.assert_allclose(
-            np.asarray(out_r.alpha), np.asarray(out_c.alpha), atol=1e-6
-        )
-        np.testing.assert_allclose(
-            np.asarray(out_r.depth), np.asarray(out_c.depth), atol=1e-6
-        )
-
-    def test_rows_matches_ref_blend(self):
-        g, cam = make_scene(n=200, width=64, height=48, key=4)
-        splats = projection.preprocess(g, cam)
-        binned = binning.bin_splats(splats, cam.width, cam.height, 1 << 14)
-        feat_g = blend_pallas.pack_gaussian_features_8(splats)
-        feat_cols = feat_g[:, binned.gid]
-        feat_rows = feat_g.T[binned.gid]
-        tx, ty = binned.num_tiles_x, binned.num_tiles_y
-        out_c = blend_pallas._blend_fwd_call(
-            feat_cols, binned.tile_start, binned.tile_chunks,
-            tx * ty, tx, 16, 256,
-        )
-        out_r = blend_pallas._blend_fwd_call(
-            feat_rows, binned.tile_start, binned.tile_chunks,
-            tx * ty, tx, 16, 256, rows_layout=True,
-        )
-        np.testing.assert_allclose(
-            np.asarray(out_r), np.asarray(out_c), atol=1e-6
-        )
-
-    def test_rows_layout_v3_algo(self):
-        g, cam = make_scene(n=200, width=64, height=48, key=5)
-        splats = projection.preprocess(g, cam)
-        binned = binning.bin_splats(splats, cam.width, cam.height, 1 << 14)
-        feat_g = blend_pallas.pack_gaussian_features_8(splats)
-        feat_rows = feat_g.T[binned.gid]
-        tx, ty = binned.num_tiles_x, binned.num_tiles_y
-        out_c = blend_pallas._blend_fwd_call(
-            feat_g[:, binned.gid], binned.tile_start, binned.tile_chunks,
-            tx * ty, tx, 16, 256, algo="linear",
-        )
-        out_r = blend_pallas._blend_fwd_call(
-            feat_rows, binned.tile_start, binned.tile_chunks,
-            tx * ty, tx, 16, 256, algo="linear", rows_layout=True,
-        )
-        np.testing.assert_allclose(
-            np.asarray(out_r), np.asarray(out_c), atol=1e-6
-        )
