@@ -135,6 +135,11 @@ def bin_splats(
         and tiles_y < 32
         and os.environ.get("AUTOVFX_COMPACT_PRESORT", "1") != "0"
     )
+    # (measured and rejected on-chip, r4: a single-stream final sort
+    # packing [tile|depth-rank] into one uint32 key needs a (K,) gather
+    # through depth_order to recover gid afterwards — XLA gathers are
+    # index-rate-bound at ~14 ns/index, so the recovery costs ~3x what
+    # the dropped sort stream saves: 44.3 -> 17.5 FPS at Garden scale.)
     if compact:
         rect_w0 = jnp.maximum(
             splats.tile_max[:, 0] - splats.tile_min[:, 0], 1
@@ -239,6 +244,10 @@ def bin_splats(
     # count[ty, tx] = Σ_g [y0≤ty<y1][x0≤tx<x1] = Ayᵀ @ Ax — one MXU
     # matmul with the long (N) contraction; XLA scatters run ~7 ns/elem
     # so the rect-corner summed-area alternative costs 28 ms at N=1M.
+    # (An in-register Pallas version — ops/tilecount_pallas.py —
+    # measured 43.9 vs 44.3 FPS at Garden scale in r4: XLA already
+    # overlaps this matmul with the rest of the pipeline, so the
+    # kernel's rows-stacking overhead loses.  Kept XLA-only.)
     txi = jnp.arange(tiles_x, dtype=jnp.int32)[None, :]
     tyi = jnp.arange(tiles_y, dtype=jnp.int32)[None, :]
     ax = (

@@ -476,11 +476,12 @@ def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
     feat_rows = feat.shape[0]
     packed = feat_rows == FEAT8
     packed6 = feat_rows == FEAT6
-    if packed6 and os.environ.get("AUTOVFX_PACK6_DIRECT", "0") != "1":
-        # Slicing 6 sublanes out of an (8, K)-tiled ref needs 8-sublane
-        # alignment, so the historical path pads with two zero rows
-        # (sequential write).  AUTOVFX_PACK6_DIRECT=1 skips the pad and
-        # DMAs the natively-(6, K) array full-extent in dim 0 instead.
+    if packed6:
+        # Mosaic DMA slices must be 8-sublane aligned: pad the 6 packed
+        # rows with two zero rows.  (A natively-(6, K) array DMA'd
+        # full-extent fails Mosaic compile too — r4 on-chip evidence;
+        # and the gather is index-rate-bound, so bf16x measured 39.8 vs
+        # bf16's 44.3 FPS at Garden scale: kept only for the record.)
         feat = jnp.concatenate(
             [feat, jnp.zeros((2, feat.shape[1]), feat.dtype)], axis=0
         )

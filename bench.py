@@ -22,6 +22,7 @@ Env knobs: BENCH_MODE=all|edit|view|train, BENCH_GAUSSIANS, BENCH_TILE,
 BENCH_CHUNK, BENCH_DUP_BUDGET (default: snug auto-sizing), BENCH_FRAMES,
 BENCH_FEATURE_PACK, BENCH_EDIT_FUSED=0.
 """
+import functools
 import json
 import os
 import time
@@ -368,6 +369,10 @@ def _main_edit(g, cams, cfg, extras):
     frame_fn = (
         CL.render_edited_frame_fused if fused else CL.render_edited_frame
     )
+    if fused and "BENCH_SHADOW_SCALE" in os.environ:
+        frame_fn = functools.partial(
+            frame_fn, shadow_scale=int(os.environ["BENCH_SHADOW_SCALE"])
+        )
 
     def make_build_run(inputs, **frame_kw):
         def build_run(n):
@@ -406,12 +411,14 @@ def _main_edit(g, cams, cfg, extras):
             from autovfx_tpu.render import liquid as LQ
             from autovfx_tpu.render import smoke as SMK
 
+            s_res = int(os.environ.get("BENCH_SMOKE_RES", 48))
             s_cfg = SMK.SmokeConfig(
-                resolution=48, dt=1.0 / 15.0, with_fire=True,
+                resolution=s_res, dt=1.0 / 15.0, with_fire=True,
                 dissolve_speed=30,
             )
             mask = SMK.sphere_inflow(
-                s_cfg, [24, 24, 8], 0.06 * s_cfg.resolution
+                s_cfg, [s_res // 2, s_res // 2, s_res // 6],
+                0.06 * s_cfg.resolution,
             )
             s_traj = SMK.simulate_smoke(s_cfg, mask, FRAMES)
             prog = np.clip(
@@ -443,6 +450,7 @@ def _main_edit(g, cams, cfg, extras):
                 4 * FRAMES,
             )
             extras["edit_effects_fps"] = round(1.0 / dt_fx, 2)
+            extras["smoke_res"] = s_res
         except Exception as e:  # noqa: BLE001
             print(f"# effects bench failed ({e})", flush=True)
 
