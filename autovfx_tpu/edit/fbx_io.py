@@ -198,7 +198,18 @@ def _layer_to_vertex(
     data_node = layer.find(data_name)
     if data_node is None or not len(data_node.props):
         return None
-    data = np.asarray(data_node.props[0], np.float64).reshape(-1, width)
+    flat = np.asarray(data_node.props[0], np.float64)
+    if flat.size % width:
+        # some exporters write RGB (3-wide) color arrays; adapt rather
+        # than aborting the whole mesh import on the reshape
+        if width == 4 and flat.size % 3 == 0:
+            rgb = flat.reshape(-1, 3)
+            flat = np.concatenate(
+                [rgb, np.ones((len(rgb), 1), np.float64)], axis=1
+            ).reshape(-1)
+        else:
+            return None
+    data = flat.reshape(-1, width)
     mapping_node = layer.find("MappingInformationType")
     mapping = mapping_node.props[0] if mapping_node else "ByPolygonVertex"
     ref_node = layer.find("ReferenceInformationType")

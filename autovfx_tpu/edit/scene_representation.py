@@ -66,6 +66,11 @@ class SceneParams:
     edit_text: str = ""
     blender_output_dir_name: str = "blender_output"
     env_map_path: Optional[str] = None  # precomputed DiffusionLight HDR
+    # alternative to env_map_path: directory of SDXL chrome-ball crops
+    # named ball_ev<EV*10>.png/npy (e.g. ball_ev0.npy, ball_ev-25.npy,
+    # ball_ev-50.npy); the unwrap + HDR merge then run natively
+    # (render/difflight.py, ball2envmap.py + exposure2hdr.py parity)
+    ball_crops_dir: Optional[str] = None
     dup_budget: int = 1 << 21
     light_samples: int = 64
     # indoor emitter mesh (opt.py:62-63) sampled into area lights
@@ -184,6 +189,17 @@ class SceneRepresentation:
         )
         if os.path.exists(cache):
             env_world = np.load(cache)
+        elif getattr(self.hparams, "ball_crops_dir", None):
+            # native DiffusionLight post-processing: only the SDXL ball
+            # inpaint is precomputed; unwrap + EV merge + rotation run
+            # here (render/difflight.py)
+            from autovfx_tpu.render import difflight as DLGT
+
+            crops = DLGT.load_ball_crops(self.hparams.ball_crops_dir)
+            env_world = DLGT.envmap_from_ball_crops(
+                crops, c2w=self.anchor_camera.c2w
+            )
+            np.save(cache, env_world)
         elif self.hparams.env_map_path:
             env_cam = REnv.load_envmap(self.hparams.env_map_path)
             c2w = self.anchor_camera.c2w

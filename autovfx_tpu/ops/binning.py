@@ -98,7 +98,22 @@ def bin_splats(
     tile: int = TILE,
     chunk: int = CHUNK,
     fill_backend: str = "auto",
+    pad_mode: str = "chunk",
 ) -> BinnedSplats:
+    """``pad_mode``:
+
+    - ``"chunk"`` (default, training/VJP contract): per-tile pad entries
+      make every tile segment start at a multiple of ``chunk`` (the
+      layout the backward kernel assumes).
+    - ``"none"`` (inference fast path): no pad entries at all — only
+      live duplicates go through the final sort, and the per-tile
+      segments are derived *post-sort* with one tiny searchsorted
+      (T+1 queries) instead of the per-tile count matmul + pad fills.
+      ``tile_start`` is then the EXACT (unaligned) segment start and the
+      blend kernel masks the partial leading/trailing chunks; the
+      budget shrinks by the ~T·chunk/2 pad slots, which every K-sized
+      stage (fill, sort, gather) pays for.
+    """
     CHUNK = chunk  # noqa: N806 — local chunk size
     if chunk % 128:
         raise ValueError(
@@ -240,6 +255,34 @@ def bin_splats(
     dx = rank - dy * rect_w
     tile_real = (tmin_y + dy) * tiles_x + (tmin_x + dx)
 
+    if pad_mode == "none":
+        # ---- compact segments: sort live dups only, derive bounds ----
+        tile_id = jnp.where(valid, tile_real, n_tiles)
+        gid = jnp.where(valid, orig_id, n)
+        tile_s, gid_s = jax.lax.sort((tile_id, gid), num_keys=1)
+        bounds = jnp.searchsorted(
+            tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        start = bounds[:-1]
+        end = bounds[1:]
+        base = (start // CHUNK) * CHUNK
+        tile_chunks = jnp.where(
+            end > start, (end - base + CHUNK - 1) // CHUNK, 0
+        )
+        return BinnedSplats(
+            gid=gid_s,
+            tile=tile_s,
+            valid=gid_s < n,
+            depth_order=depth_order,
+            tile_start=start,  # EXACT (unaligned) — kernel masks edges
+            tile_count=end - start,
+            tile_chunks=tile_chunks,
+            num_tiles_x=tiles_x,
+            num_tiles_y=tiles_y,
+            total_dups=total,
+            overflow=total > k,
+        )
+
     # ---- exact per-tile counts: separable interval-indicator matmul ----------
     # count[ty, tx] = Σ_g [y0≤ty<y1][x0≤tx<x1] = Ayᵀ @ Ax — one MXU
     # matmul with the long (N) contraction; XLA scatters run ~7 ns/elem
@@ -317,11 +360,13 @@ def bin_splats(
 
 def required_budget(
     splats: Splats2D, width: int, height: int,
-    tile: int = TILE, chunk: int = CHUNK,
+    tile: int = TILE, chunk: int = CHUNK, pad_mode: str = "chunk",
 ) -> jax.Array:
-    """Padded duplicate count for this view (host-side budget sizing)."""
+    """Padded duplicate count for this view (host-side budget sizing).
+    pad_mode="none" (compact segments) carries no per-tile pad slots."""
     tiles_x, tiles_y = num_tiles(width, height, tile)
-    return jnp.sum(splats.tiles_touched) + tiles_x * tiles_y * chunk
+    pad = 0 if pad_mode == "none" else tiles_x * tiles_y * chunk
+    return jnp.sum(splats.tiles_touched) + pad
 
 
 def round_budget(n: int, multiple: int | None = None, slack: float = 1.25) -> int:

@@ -146,10 +146,47 @@ def _fwd_kernel(
     1e-4), so color/alpha deviate from the CUDA freeze semantics by
     < 1e-4 — far below the bf16 color quantization this path already
     carries.  The f32/training path keeps the exact freeze."""
+    _fwd_body(
+        tile_start_ref, None, tile_chunks_ref, feat_ref, out_ref, fbuf,
+        sems, tiles_x=tiles_x, tile=tile, chunk=chunk, packed=packed,
+        packed6=packed6, prefix_split=prefix_split,
+        exact_freeze=exact_freeze,
+    )
+
+
+def _fwd_kernel_compact(
+    tile_start_ref, tile_count_ref, tile_chunks_ref, feat_ref, out_ref,
+    fbuf, sems, *, tiles_x: int, tile: int, chunk: int,
+    packed: bool = False, packed6: bool = False, prefix_split: int = 4,
+    exact_freeze: bool = True,
+):
+    """Pad-free segment variant (binning pad_mode="none"): tile_start
+    is the EXACT unaligned segment start; chunk DMAs start at the
+    chunk-floor and the partial leading/trailing edges are masked to
+    alpha=0 (inert in both the transmittance prefix and the contrib
+    matmul), so no pad entries exist anywhere in the pipeline."""
+    _fwd_body(
+        tile_start_ref, tile_count_ref, tile_chunks_ref, feat_ref,
+        out_ref, fbuf, sems, tiles_x=tiles_x, tile=tile, chunk=chunk,
+        packed=packed, packed6=packed6, prefix_split=prefix_split,
+        exact_freeze=exact_freeze,
+    )
+
+
+def _fwd_body(
+    tile_start_ref, tile_count_ref, tile_chunks_ref, feat_ref, out_ref,
+    fbuf, sems, *, tiles_x: int, tile: int, chunk: int, packed: bool,
+    packed6: bool, prefix_split: int, exact_freeze: bool,
+):
     P = tile * tile  # noqa: N806
     t = pl.program_id(0)
     start = tile_start_ref[t]
     n_chunks = tile_chunks_ref[t]
+    if tile_count_ref is not None:  # compact: floor-align the DMA base
+        seg_end = start + tile_count_ref[t]
+        seg_base = (start // chunk) * chunk
+    else:
+        seg_base = start
     ox = ((t % tiles_x) * tile).astype(jnp.float32)
     oy = ((t // tiles_x) * tile).astype(jnp.float32)
 
@@ -158,7 +195,7 @@ def _fwd_kernel(
     ones_p = jnp.ones((1, P), jnp.float32)
 
     def chunk_dma(slot, c):
-        off = pl.multiple_of(start + c * chunk, chunk)
+        off = pl.multiple_of(seg_base + c * chunk, chunk)
         src = feat_ref.at[:, pl.ds(off, chunk)]
         return pltpu.make_async_copy(src, fbuf.at[slot], sems.at[slot])
 
@@ -189,6 +226,14 @@ def _fwd_kernel(
         else:
             f_alpha = f
         alpha, _, _ = _chunk_alpha(f_alpha, basis, ones_p, ox, oy)
+        if tile_count_ref is not None:
+            # mask the partial leading/trailing chunk edges (neighbors'
+            # duplicates share the floor-aligned chunks)
+            idx = seg_base + c * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, 1), 0
+            )
+            live = ((idx >= start) & (idx < seg_end)).astype(jnp.float32)
+            alpha = alpha * live
         lg = jnp.log1p(-alpha)
         # fast (packed) mode runs the prefix/contrib matmuls at default
         # bf16 MXU precision (~0.4% on T — below 8-bit display quanta)
@@ -463,7 +508,12 @@ def _blend_core(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
 
 
 def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
-                    chunk, algo: str | None = None):
+                    chunk, algo: str | None = None, tile_count=None):
+    """``tile_count`` given => pad-free compact segments (binning
+    pad_mode="none"): tile_start is exact/unaligned and the kernel
+    masks chunk edges.  ``feat`` must then carry >= chunk extra inert
+    columns past the last live duplicate (the floor-aligned final DMA
+    can read up to chunk-1 slots beyond the last segment end)."""
     import os
 
     if algo is None:
@@ -487,8 +537,9 @@ def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
         )
         feat_rows = FEAT8
     fbuf_shape = (2, feat_rows, chunk)
+    compact = tile_count is not None
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if compact else 2,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -502,12 +553,21 @@ def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
         ],
     )
     if algo == "linear":
+        if compact:
+            raise ValueError(
+                "compact segments are not wired into the linear v3 "
+                "kernel (use algo='fast'/'log' with pad_mode='none')"
+            )
         kernel = functools.partial(_fwd_kernel_v3)
+    elif compact:
+        kernel = functools.partial(
+            _fwd_kernel_compact, exact_freeze=algo != "fast"
+        )
     else:
         kernel = functools.partial(
             _fwd_kernel, exact_freeze=algo != "fast"
         )
-    return pl.pallas_call(
+    call = pl.pallas_call(
         functools.partial(
             kernel, tiles_x=tiles_x, tile=tile, chunk=chunk,
             packed=packed or packed6, packed6=packed6,
@@ -516,7 +576,10 @@ def _blend_fwd_call(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,
             (n_tiles, OUT_ROWS, P), jnp.float32
         ),
         grid_spec=grid_spec,
-    )(tile_start, tile_chunks, feat)
+    )
+    if compact:
+        return call(tile_start, tile_count, tile_chunks, feat)
+    return call(tile_start, tile_chunks, feat)
 
 
 def _blend_fwd_rule(feat, tile_start, tile_chunks, n_tiles, tiles_x, tile,

@@ -49,13 +49,16 @@ def _fill_kernel(
     lo_ref, carry_ref, starts_ref, digits_ref, out_ref, sbuf, dbuf, sems,
     *, n_steps: int, n_rows: int, n_streams: int,
 ):
-    """Grid steps are INDEPENDENT (``parallel`` semantics): the running
-    digit prefix entering each step is not accumulated across steps but
-    read from ``carry_ref`` — it equals digits(values[g(t*C_STEP)]),
+    """Grid steps carry no sequential SCRATCH state: the running digit
+    prefix entering each step is not accumulated across steps but read
+    from ``carry_ref`` — it equals digits(values[g(t*C_STEP)]),
     precomputed on the XLA side with one searchsorted + tiny gather.
     (The r3 kernel serialized ~900 steps through a carry scratch; the
     sequential grid was the fill's actual cost at Garden scale, not the
-    matmuls or DMA.)"""
+    matmuls or DMA.)  Execution still MUST stay in-order — the
+    cross-step double-buffered DMA (step t waits the copy started at
+    step t-1) deadlocks under ``parallel`` dimension_semantics; see the
+    compiler_params comment at the pallas_call."""
     t = pl.program_id(0)
 
     def base_of(step):

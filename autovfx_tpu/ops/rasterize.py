@@ -122,11 +122,21 @@ feature packing through the fused Pallas kernel (inference fast path;
     binned = binning.bin_splats(
         splats, cam.width, cam.height, config.dup_budget,
         tile=config.tile, chunk=config.chunk,
+        pad_mode="none" if packed else "chunk",
     )
     # (16/8/6, K) dup gather; a (K, R) row-major gather variant was
     # tried in r3 and is unbuildable: Mosaic requires lane-dim slices
     # aligned to the 128-lane tiling, so the (K, 8) layout pads 16x
-    feat_dup = feat_g[:, binned.gid]
+    gid = binned.gid
+    if packed:
+        # compact segments: the kernel's floor-aligned final DMA can
+        # read up to chunk-1 slots past the last segment — append one
+        # inert dummy chunk (dummy column = last feat column)
+        gid = jnp.concatenate(
+            [gid, jnp.full((config.chunk,), feat_g.shape[1] - 1,
+                           jnp.int32)]
+        )
+    feat_dup = feat_g[:, gid]
 
     tx, ty = binned.num_tiles_x, binned.num_tiles_y
     if backend == "pallas":
@@ -135,6 +145,7 @@ feature packing through the fused Pallas kernel (inference fast path;
             out_rows = blend_pallas._blend_fwd_call(
                 feat_dup, binned.tile_start, binned.tile_chunks,
                 n_tiles, tx, config.tile, config.chunk,
+                tile_count=binned.tile_count,
             )
         else:
             out_rows = blend_pallas._blend_core(
@@ -201,13 +212,18 @@ def rasterize_rows(
     splats, feat_g = ps.splats, ps.feat
     binned = binning.bin_splats(
         splats, cam.width, cam.height, config.dup_budget,
-        tile=config.tile, chunk=config.chunk,
+        tile=config.tile, chunk=config.chunk, pad_mode="none",
     )
-    feat_dup = feat_g[:, binned.gid]
+    gid = jnp.concatenate(
+        [binned.gid,
+         jnp.full((config.chunk,), feat_g.shape[1] - 1, jnp.int32)]
+    )
+    feat_dup = feat_g[:, gid]
     tx, ty = binned.num_tiles_x, binned.num_tiles_y
     out_rows = blend_pallas._blend_fwd_call(
         feat_dup, binned.tile_start, binned.tile_chunks,
         tx * ty, tx, config.tile, config.chunk,
+        tile_count=binned.tile_count,
     )
     rows = blend_ref.assemble_rows(
         out_rows, tx, ty, cam.width, cam.height, tile=config.tile
@@ -270,13 +286,18 @@ def rasterize_rows_multi(
     )
     binned = binning.bin_splats(
         splats, cam.width, cam.height, config.dup_budget,
-        tile=config.tile, chunk=config.chunk,
+        tile=config.tile, chunk=config.chunk, pad_mode="none",
     )
-    feat_dup = feat_g[:, binned.gid]
+    gid = jnp.concatenate(
+        [binned.gid,
+         jnp.full((config.chunk,), feat_g.shape[1] - 1, jnp.int32)]
+    )
+    feat_dup = feat_g[:, gid]
     tx, ty = binned.num_tiles_x, binned.num_tiles_y
     out_rows = blend_pallas._blend_fwd_call(
         feat_dup, binned.tile_start, binned.tile_chunks,
         tx * ty, tx, config.tile, config.chunk,
+        tile_count=binned.tile_count,
     )
     rows = blend_ref.assemble_rows(
         out_rows, tx, ty, cam.width, cam.height, tile=config.tile

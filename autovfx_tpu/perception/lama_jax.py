@@ -183,7 +183,11 @@ def load_lama_params(ckpt_path: str) -> LamaParams:
                 break
     import torch
 
-    raw = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    try:
+        # weights-only consumer: avoid the arbitrary-unpickle surface
+        raw = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    except Exception:  # noqa: BLE001 — lightning ckpts may need full unpickle
+        raw = torch.load(ckpt_path, map_location="cpu", weights_only=False)
     sd = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
     return convert_torch_state_dict(sd)
 

@@ -170,6 +170,8 @@ class ObjaverseIndex:
                 return [], []
             sims = np.where(self.animated, sims, -np.inf)
         k = min(top_k, len(sims))
+        if k <= 0:  # empty index: argpartition(k-1) would raise
+            return [], []
         top = np.argpartition(-sims, k - 1)[:k]
         top = top[np.argsort(-sims[top])]
         keep = [i for i in top if sims[i] >= cosine_threshold]
@@ -287,35 +289,48 @@ def download_objects(uids: Sequence[str], save_dir: str) -> Dict[str, str]:
 
 
 def download_gobjaverse_previews(
-    uid_to_index: Dict[str, str], save_dir: str, views: int = 40
+    uid_to_index: Dict[str, str], save_dir: str, views: int = 40,
+    min_views: int = 4, timeout_s: float = 20.0,
 ) -> Dict[str, str]:
     """uid → local preview folder with the GObjaverse pre-rendered
     turntable views (wrapper_objaverse.py:94-112).  Already-present
-    folders are reused; offline misses are dropped.
+    complete folders (>= ``min_views`` images) are reused.
+
+    Network use is opt-in (AUTOVFX_ALLOW_HUB_DOWNLOAD=1, same switch as
+    the HF hub paths) and every request carries ``timeout_s`` so a
+    packet-dropping host can't stall retrieval; a uid is only registered
+    once at least ``min_views`` views landed, so a partial folder is
+    retried next call instead of being reused forever.
     """
     base = ("https://virutalbuy-public.oss-cn-hangzhou.aliyuncs.com/"
             "share/aigc3d/objaverse")
+    allow_net = os.environ.get("AUTOVFX_ALLOW_HUB_DOWNLOAD") == "1"
     out: Dict[str, str] = {}
     for uid, idx in uid_to_index.items():
         folder = os.path.join(save_dir, uid)
-        if os.path.isdir(folder) and os.listdir(folder):
+        if os.path.isdir(folder) and len(os.listdir(folder)) >= min_views:
             out[uid] = folder
             continue
+        if not allow_net:
+            print(f"# gobjaverse previews for {uid} not cached and "
+                  "downloads disabled (set AUTOVFX_ALLOW_HUB_DOWNLOAD=1)")
+            continue
         os.makedirs(folder, exist_ok=True)
-        ok = False
+        got = 0
         try:
             import urllib.request
 
             for v in range(views):
                 name = f"{v:05d}"
                 url = f"{base}/{idx}/campos_512_v4/{name}/{name}.png"
-                urllib.request.urlretrieve(
-                    url, os.path.join(folder, f"{name}.png")
-                )
-                ok = True
+                with urllib.request.urlopen(url, timeout=timeout_s) as r:
+                    data = r.read()
+                with open(os.path.join(folder, f"{name}.png"), "wb") as f:
+                    f.write(data)
+                got += 1
         except Exception as e:  # noqa: BLE001 — offline → skip uid
-            if not ok:
+            if got < min_views:
                 print(f"# gobjaverse previews unavailable for {uid} ({e})")
-        if ok:
+        if got >= min_views:
             out[uid] = folder
     return out

@@ -112,13 +112,20 @@ def _auto_budget(g, cams, cfg):
     from autovfx_tpu.core import cameras as C
     from autovfx_tpu.ops import binning, projection
 
+    # the packed/pallas inference path bins with pad_mode="none" —
+    # no per-tile pad slots enter the budget
+    packed = cfg.backend == "pallas" and cfg.feature_pack in (
+        "bf16", "bf16x"
+    )
+
     @jax.jit
     def padded_count(g, i):
         cam = C.index_camera(cams, i)
         s = projection.preprocess(g, cam, tile=cfg.tile)
-        tiles_x = (WIDTH + cfg.tile - 1) // cfg.tile
-        tiles_y = (HEIGHT + cfg.tile - 1) // cfg.tile
-        return jnp.sum(s.tiles_touched) + tiles_x * tiles_y * cfg.chunk
+        return binning.required_budget(
+            s, WIDTH, HEIGHT, tile=cfg.tile, chunk=cfg.chunk,
+            pad_mode="none" if packed else "chunk",
+        )
 
     worst = max(int(_paced(padded_count, g, i)) for i in range(FRAMES))
     return binning.round_budget(worst, slack=1.06)
@@ -454,15 +461,79 @@ def _main_edit(g, cams, cfg, extras):
         except Exception as e:  # noqa: BLE001
             print(f"# effects bench failed ({e})", flush=True)
 
-    _emit(
+    headline = (
         f"garden-like {WIDTH}x{HEIGHT} EDITED-frame FPS/chip "
         f"({N_GAUSS} splats + solver-replayed object/shadow/composite, "
-        f"tile={TILE})",
-        1.0 / dt, extras,
+        f"tile={TILE})"
     )
 
+    # --- config 5: full edit replay (contact solve + whole clip) -------
+    # one wall-clock pass of what a production rb_transform replay does:
+    # host contact solve -> trajectory upload -> ONE whole-clip device
+    # dispatch (all frames in a lax.scan).  Includes dispatch+fetch, so
+    # it lower-bounds the sustainable rate.
+    if MODE == "all" and os.environ.get("BENCH_REPLAY", "1") != "0":
+        try:
+            @jax.jit
+            def clip_program(inputs):
+                def frame(c, i):
+                    f = frame_fn(inputs, i % FRAMES, cfg)
+                    return c, f.mean()
 
-def _main_train(g, cams, cfg):
+                _, means = jax.lax.scan(
+                    frame, 0.0, jnp.arange(FRAMES, dtype=jnp.int32)
+                )
+                return means
+
+            def replay_once():
+                t0 = time.time()
+                _, pos2, quat2 = PW.simulate(world, FRAMES)
+                r2 = np.asarray(
+                    quat_to_rotmat(jnp.asarray(quat2.reshape(-1, 4)))
+                ).reshape(FRAMES, -1, 3, 3)
+                org = pos2 - np.einsum(
+                    "fbij,bj->fbi", r2, world.com_offsets
+                )
+                inp2 = inp._replace(
+                    traj_pos=jnp.asarray(org.astype(np.float32)),
+                    traj_rot=jnp.asarray(r2.astype(np.float32)),
+                )
+                np.asarray(clip_program(inp2))
+                return time.time() - t0
+
+            time.sleep(PACE_S)
+            replay_once()  # compile
+            walls = []
+            for _ in range(3):
+                time.sleep(PACE_S)
+                walls.append(replay_once())
+            extras["edit_replay_fps"] = round(FRAMES / min(walls), 2)
+            extras["edit_replay_wall_s"] = round(min(walls), 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"# replay bench failed ({e})", flush=True)
+
+    # --- configs 2/3: training + SuGaR extraction in the same JSON -----
+    if MODE == "all" and os.environ.get("BENCH_ALL_EXTENDED", "1") != "0":
+        _emit(headline, 1.0 / dt, dict(extras))  # checkpoint line
+        try:
+            extras["train_iters_per_sec"] = round(
+                _train_iters_per_sec(g, cams, cfg), 3
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"# train bench failed ({e})", flush=True)
+        _emit(headline, 1.0 / dt, dict(extras))  # checkpoint line
+        try:
+            wall, rms, mesh = _sugar_extract(g, cams, cfg)
+            extras["sugar_extract_seconds"] = round(wall, 2)
+            extras["sugar_vertices"] = int(len(mesh.vertices))
+            extras["sugar_rms_to_levelset"] = round(rms, 4)
+        except Exception as e:  # noqa: BLE001
+            print(f"# sugar bench failed ({e})", flush=True)
+
+    _emit(headline, 1.0 / dt, extras)
+
+
+def _train_iters_per_sec(g, cams, cfg):
     """BASELINE config 2 evidence: 3DGS training iters/sec at bench
     scale (forward+backward+Adam on the f32 path)."""
     from autovfx_tpu.core import cameras as C
@@ -488,14 +559,10 @@ def _main_train(g, cams, cfg):
         return run
 
     dt = _time_diff_scan(build_run, 2, 8)
-    _emit(
-        f"garden-like {WIDTH}x{HEIGHT} 3DGS training iters/sec/chip "
-        f"({N_GAUSS} splats, fwd+bwd+adam)",
-        1.0 / dt, {"unit_override": "iters/s"},
-    )
+    return 1.0 / dt
 
 
-def _main_sugar(g, cams, cfg):
+def _sugar_extract(g, cams, cfg):
     """BASELINE config 3 evidence: SuGaR mesh extraction at bench-scale
     splat count — wall time + RMS distance of mesh vertices to the
     level set (reference: extract_mesh at 1M verts, train_3dgs.sh:55+)."""
@@ -523,6 +590,20 @@ def _main_sugar(g, cams, cfg):
         D.compute_density(sel, g_neighbors[nearest], g)
     )
     rms = float(np.sqrt(np.mean((np.clip(dens, 0, 1) - 0.3) ** 2)))
+    return wall, rms, mesh
+
+
+def _main_train(g, cams, cfg):
+    _emit(
+        f"garden-like {WIDTH}x{HEIGHT} 3DGS training iters/sec/chip "
+        f"({N_GAUSS} splats, fwd+bwd+adam)",
+        _train_iters_per_sec(g, cams, cfg),
+        {"unit_override": "iters/s"},
+    )
+
+
+def _main_sugar(g, cams, cfg):
+    wall, rms, mesh = _sugar_extract(g, cams, cfg)
     _emit(
         f"SuGaR mesh extraction wall-clock ({N_GAUSS} splats -> "
         f"{len(mesh.vertices)} verts)",

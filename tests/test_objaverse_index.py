@@ -128,14 +128,28 @@ class TestDownloadClient:
         out = OI.download_objects(["uid-nowhere"], str(tmp_path / "dl"))
         assert out == {}  # no raise
 
-    def test_preview_reuse(self, tmp_path):
+    def test_preview_reuse(self, tmp_path, monkeypatch):
+        monkeypatch.delenv("AUTOVFX_ALLOW_HUB_DOWNLOAD", raising=False)
+        folder = tmp_path / "prev" / "uid-dragon"
+        folder.mkdir(parents=True)
+        for v in range(4):  # complete folder (>= min_views)
+            (folder / f"{v:05d}.png").write_bytes(b"png")
+        out = OI.download_gobjaverse_previews(
+            {"uid-dragon": "0/12345"}, str(tmp_path / "prev")
+        )
+        assert out == {"uid-dragon": str(folder)}
+
+    def test_preview_partial_not_reused(self, tmp_path, monkeypatch):
+        # a partially-downloaded folder must NOT register as present,
+        # and with downloads disabled the uid is dropped (no network)
+        monkeypatch.delenv("AUTOVFX_ALLOW_HUB_DOWNLOAD", raising=False)
         folder = tmp_path / "prev" / "uid-dragon"
         folder.mkdir(parents=True)
         (folder / "00000.png").write_bytes(b"png")
         out = OI.download_gobjaverse_previews(
             {"uid-dragon": "0/12345"}, str(tmp_path / "prev")
         )
-        assert out == {"uid-dragon": str(folder)}
+        assert out == {}
 
 
 class TestWrapperIntegration:

@@ -246,3 +246,88 @@ class TestPackedFastPath:
         np.testing.assert_allclose(np.asarray(lo), np.asarray(b), rtol=4e-3)
 
 
+
+
+class TestCompactSegments:
+    """Pad-free binning (pad_mode="none") + edge-masked kernel parity.
+
+    The compact path sorts live duplicates only and derives EXACT
+    (unaligned) tile segments post-sort; the kernel floor-aligns chunk
+    DMAs and masks neighbors' duplicates at the segment edges."""
+
+    def test_matches_padded_reference(self):
+        g, cam = make_scene(n=400, width=64, height=48, key=0)
+        splats = projection.preprocess(g, cam)
+        b0 = binning.bin_splats(splats, cam.width, cam.height, 1 << 14)
+        feat = blend_pallas.pack_gaussian_features(splats)
+        t_ref = blend_ref.blend_tiles_ref_from_feat(b0, feat[:, b0.gid])
+
+        b1 = binning.bin_splats(
+            splats, cam.width, cam.height, 1 << 14, pad_mode="none"
+        )
+        # live duplicate count identical; no pad slots at all
+        assert int(b1.valid.sum()) == int(b0.valid.sum())
+        assert int(b1.total_dups) == int(b0.total_dups)
+        f8 = blend_pallas.pack_gaussian_features_8(splats)
+        gid = jnp.concatenate(
+            [b1.gid,
+             jnp.full((binning.CHUNK,), f8.shape[1] - 1, jnp.int32)]
+        )
+        out = blend_pallas._blend_fwd_call(
+            f8[:, gid], b1.tile_start, b1.tile_chunks,
+            b1.num_tiles_x * b1.num_tiles_y, b1.num_tiles_x, 16, 256,
+            tile_count=b1.tile_count,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[:, 4]), np.asarray(t_ref.alpha), atol=3e-5
+        )
+        col = np.moveaxis(np.asarray(out[:, 0:3]), 1, 2)
+        np.testing.assert_allclose(
+            col, np.asarray(t_ref.color), atol=1.5e-2
+        )
+
+    def test_segment_bounds_consistent(self):
+        g, cam = make_scene(n=300, width=64, height=64, key=2)
+        splats = projection.preprocess(g, cam)
+        b = binning.bin_splats(
+            splats, cam.width, cam.height, 1 << 14, pad_mode="none"
+        )
+        start = np.asarray(b.tile_start)
+        count = np.asarray(b.tile_count)
+        tiles = np.asarray(b.tile)
+        # starts are the exact sorted-segment boundaries
+        ends = start + count
+        assert (np.diff(start) >= 0).all()
+        for t in range(0, len(start), 7):
+            seg = np.nonzero(tiles == t)[0]
+            if len(seg):
+                assert seg[0] == start[t] and seg[-1] + 1 == ends[t]
+            else:
+                assert count[t] == 0
+        # chunk loop covers [floor(start), end) for every live tile
+        base = (start // binning.CHUNK) * binning.CHUNK
+        chunks = np.asarray(b.tile_chunks)
+        live = count > 0
+        assert (base[live] + chunks[live] * binning.CHUNK >= ends[live]).all()
+
+    def test_rasterize_compact_path(self):
+        # the public rasterize() wires pad_mode="none" for the packed
+        # inference path; compare against the f32/padded render
+        from autovfx_tpu.ops.rasterize import RasterConfig, rasterize
+
+        g, cam = make_scene(n=300, width=64, height=48, key=1)
+        ref = rasterize(
+            g, cam, config=RasterConfig(dup_budget=1 << 14, backend="ref")
+        )
+        fast = rasterize(
+            g, cam,
+            config=RasterConfig(
+                dup_budget=1 << 14, backend="pallas", feature_pack="bf16"
+            ),
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast.alpha), np.asarray(ref.alpha), atol=5e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast.color), np.asarray(ref.color), atol=1.5e-2
+        )
