@@ -44,6 +44,19 @@ from autovfx_tpu.render import shadow as RSH
 FRACTURE_IMPACT_SPEED = 0.7
 
 
+def _pace():
+    """Optional gap between host dispatches of Pallas-containing
+    programs: the axon TPU transport aborts on rapid same-program
+    re-dispatch (PERF.md, scripts/tpu_unit_probe.py evidence).  Device-
+    side scans (frames_per_dispatch) are the primary fix; this knob
+    covers the remaining per-frame host loops.  Default 0 (off)."""
+    import time
+
+    pace = float(os.environ.get("AUTOVFX_DISPATCH_PACE", "0"))
+    if pace > 0:
+        time.sleep(pace)
+
+
 @dataclass
 class SceneParams:
     """The subset of opt.py:10-74 flags the pipeline consumes."""
@@ -618,11 +631,22 @@ class SceneRepresentation:
         frame_indices: Optional[List[int]] = None,
         post_rendering: bool = False,
         save_dir: Optional[str] = None,
+        frames_per_dispatch: Optional[int] = None,
     ):
         """Render background (and optionally merged 3DGS objects moved by
         rb_transform, scene_representation.py:357-371) for each frame.
 
         Returns (colors (F,H,W,3), depths (F,H,W), alphas (F,H,W)).
+
+        ``frames_per_dispatch`` > 1 batches that many frames into ONE
+        device dispatch (a ``lax.scan``), the same discipline
+        ``render_clip`` uses — rapid host re-dispatch of the same
+        Pallas-containing executable can abort on some TPU transports
+        (see PERF.md, axon cadence bug), and one dispatch per N frames
+        is also simply faster.  Defaults to AUTOVFX_FRAMES_PER_DISPATCH
+        (8).  The merged-object path (post-physics 3DGS objects) stays
+        per-frame — its splat merge is host-side — and is paced via
+        AUTOVFX_DISPATCH_PACE seconds between dispatches (default 0).
         """
         cfg = self._raster_cfg()
         frames = frame_indices or list(range(self.total_frames))
@@ -633,6 +657,60 @@ class SceneRepresentation:
             if self.hparams.white_background
             else jnp.zeros((3,), jnp.float32)
         )
+
+        def _save(fi, color, depth):
+            if not save_dir:
+                return
+            os.makedirs(save_dir, exist_ok=True)
+            from PIL import Image
+
+            Image.fromarray(
+                (np.clip(color, 0, 1) * 255).astype(np.uint8)
+            ).save(os.path.join(save_dir, f"{fi:05d}.png"))
+            np.save(os.path.join(save_dir, f"depth_{fi:05d}.npy"), depth)
+
+        needs_merge = bool(
+            post_rendering
+            and self.rb_transform
+            and any(o.get("from_3DGS") for o in self.inserted_objects)
+        )
+        if frames_per_dispatch is None:
+            frames_per_dispatch = int(
+                os.environ.get("AUTOVFX_FRAMES_PER_DISPATCH", "8")
+            )
+
+        if frames_per_dispatch > 1 and not needs_merge:
+            # device-side scan: one dispatch per N frames
+            cams = self.cameras
+            n = frames_per_dispatch
+
+            @jax.jit
+            def render_chunk(g, idxs):
+                def step(_, i):
+                    out = rasterize(
+                        g, C.index_camera(cams, i), bg=bg, config=cfg
+                    )
+                    return None, (out.color, out.depth, out.alpha)
+
+                _, outs = jax.lax.scan(step, None, idxs)
+                return outs
+
+            for s in range(0, len(frames), n):
+                chunk = frames[s : s + n]
+                # pad to a fixed length so every dispatch reuses the
+                # same compiled program
+                idxs = np.asarray(
+                    chunk + [chunk[-1]] * (n - len(chunk)), np.int32
+                )
+                c, d, a = render_chunk(self.gaussians, jnp.asarray(idxs))
+                c, d, a = np.asarray(c), np.asarray(d), np.asarray(a)
+                for j, fi in enumerate(chunk):
+                    colors.append(c[j])
+                    depths.append(d[j])
+                    alphas.append(a[j])
+                    _save(fi, c[j], d[j])
+                _pace()
+            return np.stack(colors), np.stack(depths), np.stack(alphas)
 
         render_one = jax.jit(
             lambda g, cam: rasterize(g, cam, bg=bg, config=cfg)
@@ -646,16 +724,8 @@ class SceneRepresentation:
             colors.append(np.asarray(out.color))
             depths.append(np.asarray(out.depth))
             alphas.append(np.asarray(out.alpha))
-            if save_dir:
-                os.makedirs(save_dir, exist_ok=True)
-                from PIL import Image
-
-                Image.fromarray(
-                    (np.clip(colors[-1], 0, 1) * 255).astype(np.uint8)
-                ).save(os.path.join(save_dir, f"{fi:05d}.png"))
-                np.save(
-                    os.path.join(save_dir, f"depth_{fi:05d}.npy"), depths[-1]
-                )
+            _save(fi, colors[-1], depths[-1])
+            _pace()
         return np.stack(colors), np.stack(depths), np.stack(alphas)
 
     def _effect_progress(self, obj: Dict, frame_idx: int):
@@ -1160,18 +1230,29 @@ class SceneRepresentation:
         )
         return np.asarray(ratio)
 
-    def render_scene(self, skip_render_3DGS: bool = False, save: bool = True):
+    def render_scene(
+        self,
+        skip_render_3DGS: bool = False,
+        save: bool = True,
+        frames_per_dispatch: Optional[int] = None,
+    ):
         """Full edit render (scene_representation.py:224-232 semantics):
         physics → per-frame background + object + shadow passes →
-        composite.  Returns (F, H, W, 3) frames."""
+        composite.  Returns (F, H, W, 3) frames.
+
+        ``frames_per_dispatch`` batches the background pass into
+        device-side scans and paces the remaining per-frame dispatches
+        (see render_from_3DGS; AUTOVFX_DISPATCH_PACE)."""
         self.run_physics()
         self.render_global_env_map()
 
         bg_c, bg_d, bg_a = self.render_from_3DGS(
-            post_rendering=not skip_render_3DGS
+            post_rendering=not skip_render_3DGS,
+            frames_per_dispatch=frames_per_dispatch,
         )
         frames = []
         for fi in range(self.total_frames):
+            _pace()
             obj_c, obj_a, obj_d = self.render_object_pass(fi)
             scene_d = bg_d[fi] / np.maximum(bg_a[fi], 1e-6)
             scene_d = np.where(bg_a[fi] > 0.01, scene_d, 1e9)

@@ -255,34 +255,6 @@ def bin_splats(
     dx = rank - dy * rect_w
     tile_real = (tmin_y + dy) * tiles_x + (tmin_x + dx)
 
-    if pad_mode == "none":
-        # ---- compact segments: sort live dups only, derive bounds ----
-        tile_id = jnp.where(valid, tile_real, n_tiles)
-        gid = jnp.where(valid, orig_id, n)
-        tile_s, gid_s = jax.lax.sort((tile_id, gid), num_keys=1)
-        bounds = jnp.searchsorted(
-            tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
-        ).astype(jnp.int32)
-        start = bounds[:-1]
-        end = bounds[1:]
-        base = (start // CHUNK) * CHUNK
-        tile_chunks = jnp.where(
-            end > start, (end - base + CHUNK - 1) // CHUNK, 0
-        )
-        return BinnedSplats(
-            gid=gid_s,
-            tile=tile_s,
-            valid=gid_s < n,
-            depth_order=depth_order,
-            tile_start=start,  # EXACT (unaligned) — kernel masks edges
-            tile_count=end - start,
-            tile_chunks=tile_chunks,
-            num_tiles_x=tiles_x,
-            num_tiles_y=tiles_y,
-            total_dups=total,
-            overflow=total > k,
-        )
-
     # ---- exact per-tile counts: separable interval-indicator matmul ----------
     # count[ty, tx] = Σ_g [y0≤ty<y1][x0≤tx<x1] = Ayᵀ @ Ax — one MXU
     # matmul with the long (N) contraction; XLA scatters run ~7 ns/elem
@@ -290,7 +262,10 @@ def bin_splats(
     # (An in-register Pallas version — ops/tilecount_pallas.py —
     # measured 43.9 vs 44.3 FPS at Garden scale in r4: XLA already
     # overlaps this matmul with the rest of the pipeline, so the
-    # kernel's rows-stacking overhead loses.  Kept XLA-only.)
+    # kernel's rows-stacking overhead loses.  Kept XLA-only.  A
+    # searchsorted over the SORTED stream computes the same bounds but
+    # sits on the serialized sort→scalar-prefetch critical path:
+    # 44.2 -> 40.2 FPS measured on-chip in r5.)
     txi = jnp.arange(tiles_x, dtype=jnp.int32)[None, :]
     tyi = jnp.arange(tiles_y, dtype=jnp.int32)[None, :]
     ax = (
@@ -312,6 +287,41 @@ def bin_splats(
         .astype(jnp.int32)
         .reshape(-1)
     )
+
+    if pad_mode == "none":
+        # ---- compact segments: no pad entries anywhere ----------------
+        # Sort live dups only; segment bounds come from the N-side
+        # counts matmul above (exclusive cumsum), NOT from the sorted
+        # stream, so they overlap with presort/fill/sort instead of
+        # serializing before the blend's scalar prefetch.  tile_start
+        # is EXACT (unaligned); the blend kernel floor-aligns its chunk
+        # DMAs and masks the segment edges.  On overflow (total > k)
+        # the stream is truncated and segments are inconsistent —
+        # finite garbage, flagged, same contract as the padded path.
+        tile_id = jnp.where(valid, tile_real, n_tiles)
+        gid = jnp.where(valid, orig_id, n)
+        tile_s, gid_s = jax.lax.sort((tile_id, gid), num_keys=1)
+        start = jnp.minimum(
+            jnp.cumsum(tile_count) - tile_count, k
+        ).astype(jnp.int32)
+        count_c = jnp.minimum(tile_count, k - start)
+        base = (start // CHUNK) * CHUNK
+        tile_chunks = jnp.where(
+            count_c > 0, (start + count_c - base + CHUNK - 1) // CHUNK, 0
+        )
+        return BinnedSplats(
+            gid=gid_s,
+            tile=tile_s,
+            valid=gid_s < n,
+            depth_order=depth_order,
+            tile_start=start,  # EXACT (unaligned) — kernel masks edges
+            tile_count=count_c,
+            tile_chunks=tile_chunks,
+            num_tiles_x=tiles_x,
+            num_tiles_y=tiles_y,
+            total_dups=total,
+            overflow=total > k,
+        )
 
     tile_chunks_full = (tile_count + CHUNK - 1) // CHUNK
     aligned_len = tile_chunks_full * CHUNK

@@ -104,8 +104,12 @@ def _assemble_w(f, ox, oy):
     return jnp.concatenate([w0, w1, w2, -0.5 * ca, -cb, -0.5 * cc], axis=0)
 
 
-def _chunk_alpha(f, basis, ones_p, ox, oy):
-    """Shared fwd/bwd: per-chunk alpha (C, P) + unclamped + ok mask."""
+def _chunk_alpha(f, basis, ones_p, ox, oy, lop_extra=None):
+    """Shared fwd/bwd: per-chunk alpha (C, P) + unclamped + ok mask.
+
+    ``lop_extra``: optional (1, C) lane-dim additive term on the
+    log-opacity row (compact-segment edge masking: -inf kills the
+    duplicate exactly through the alpha >= 1/255 skip rule)."""
     w = _assemble_w(f, ox, oy)
     power = jax.lax.dot_general(
         w,
@@ -114,7 +118,8 @@ def _chunk_alpha(f, basis, ones_p, ox, oy):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )  # (C, P)
-    lop = _outer(f[5:6], ones_p)
+    lop_row = f[5:6] if lop_extra is None else f[5:6] + lop_extra
+    lop = _outer(lop_row, ones_p)
     a_un = jnp.exp(power + lop)  # op * exp(power), fused
     alpha = jnp.minimum(ALPHA_MAX, a_un)
     ok = (power <= 0.0) & (alpha >= ALPHA_MIN)
@@ -217,23 +222,35 @@ def _fwd_body(
 
         chunk_dma(slot, c).wait()
         f = fbuf[slot]  # (FEAT, FEAT8 or FEAT6, CHUNK)
+        if tile_count_ref is not None:
+            # mask the partial leading/trailing chunk edges (neighbors'
+            # duplicates share the floor-aligned chunks) by adding -inf
+            # to the LOG-OPACITY row: the chunk dim is the LANE dim of
+            # the feature rows, so this is a handful of native (1, C)
+            # lane ops.  (A (C, 1) sublane mask multiplied into the
+            # (C, P) alpha measured +2.5 ms/frame: sublane iota +
+            # broadcast relayouts per chunk.)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            idx = seg_base + c * chunk + lane
+            edge = jnp.where(
+                (idx >= start) & (idx < seg_end), 0.0, NEG_INF
+            )  # (1, C)
+        else:
+            edge = None
         if packed6:
             ca, cb = _unpack_bf16_pair(f[2:3])
             cc, lop = _unpack_bf16_pair(f[3:4])
+            if edge is not None:
+                lop = lop + edge
+                edge = None
             f_alpha = jnp.concatenate(
                 [f[0:2], ca, cb, cc, lop], axis=0
             )
         else:
             f_alpha = f
-        alpha, _, _ = _chunk_alpha(f_alpha, basis, ones_p, ox, oy)
-        if tile_count_ref is not None:
-            # mask the partial leading/trailing chunk edges (neighbors'
-            # duplicates share the floor-aligned chunks)
-            idx = seg_base + c * chunk + jax.lax.broadcasted_iota(
-                jnp.int32, (chunk, 1), 0
-            )
-            live = ((idx >= start) & (idx < seg_end)).astype(jnp.float32)
-            alpha = alpha * live
+        alpha, _, _ = _chunk_alpha(
+            f_alpha, basis, ones_p, ox, oy, lop_extra=edge
+        )
         lg = jnp.log1p(-alpha)
         # fast (packed) mode runs the prefix/contrib matmuls at default
         # bf16 MXU precision (~0.4% on T — below 8-bit display quanta)

@@ -195,6 +195,81 @@ def inpaint_img_with_lama(
     return cv2.inpaint(img8, m8, 7, cv2.INPAINT_TELEA)
 
 
+def inpaint_img(
+    img_path: str,
+    text_prompt: str = "",
+    dilate_kernel_size: int = 10,
+    erode_kernel_size: int = 0,
+    alpha_threshold: float = 0.7,
+) -> str:
+    """Alpha-mask panorama inpaint (inpaint/inpaint_anything.py:50-96):
+    pixels whose ALPHA channel falls below ``alpha_threshold`` form the
+    hole, the mask is eroded/dilated to kill edge fringing, and the RGB
+    is inpainted (LaMa-native / cv2 fallback via inpaint_img_with_lama).
+    Writes ``<img>_mask.png`` + ``<img>_inpaint.png`` and returns the
+    inpainted path — the reference's exact file contract."""
+    from PIL import Image
+
+    rgba = np.asarray(Image.open(img_path).convert("RGBA"))
+    mask = rgba[..., 3] < alpha_threshold * 255
+    from scipy import ndimage
+
+    if erode_kernel_size:
+        mask = ndimage.binary_erosion(
+            mask, np.ones((erode_kernel_size,) * 2, bool)
+        )
+    if dilate_kernel_size:
+        mask = ndimage.binary_dilation(
+            mask, np.ones((dilate_kernel_size,) * 2, bool)
+        )
+    mask8 = mask.astype(np.uint8) * 255
+    base = img_path[:-4]
+    Image.fromarray(mask8).save(base + "_mask.png")
+    out = inpaint_img_with_lama(rgba[..., :3], mask8)
+    out_path = base + "_inpaint.png"
+    Image.fromarray(np.asarray(out, np.uint8)).save(out_path)
+    return out_path
+
+
+def fill_img_with_sd(
+    img: np.ndarray,
+    mask: np.ndarray,
+    text_prompt: str,
+    cache_path: Optional[str] = None,
+) -> np.ndarray:
+    """Stable-Diffusion inpaint alternative
+    (inpaint/stable_diffusion_inpaint.py:13-35).  The diffusion model is
+    an external network (BASELINE precomputed-input contract): a
+    precomputed result at ``cache_path`` is consumed first; otherwise
+    the diffusers pipeline runs when installed AND downloads are opted
+    in; else the LaMa-native path answers with the same contract."""
+    if cache_path and os.path.exists(cache_path):
+        from PIL import Image
+
+        return np.asarray(Image.open(cache_path).convert("RGB"))
+    if os.environ.get("AUTOVFX_ALLOW_HUB_DOWNLOAD") == "1":
+        try:
+            import torch
+            from diffusers import AutoPipelineForInpainting
+            from PIL import Image
+
+            pipe = AutoPipelineForInpainting.from_pretrained(
+                "diffusers/stable-diffusion-xl-1.0-inpainting-0.1",
+                torch_dtype=torch.float32,
+            )
+            out = pipe(
+                prompt=text_prompt or "Fill the missing part.",
+                image=Image.fromarray(np.asarray(img, np.uint8)),
+                mask_image=Image.fromarray(
+                    (np.asarray(mask) > 0).astype(np.uint8) * 255
+                ),
+            ).images[0]
+            return np.asarray(out)
+        except Exception as e:  # noqa: BLE001 — fall through to LaMa
+            print(f"# SD inpaint unavailable ({e}); using LaMa path")
+    return inpaint_img_with_lama(np.asarray(img), np.asarray(mask))
+
+
 def get_envmap_from_single_view(
     img: np.ndarray, output_dir: str, c2w: np.ndarray
 ) -> str:

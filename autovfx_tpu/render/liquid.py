@@ -40,7 +40,11 @@ import jax.numpy as jnp
 
 
 class LiquidConfig(NamedTuple):
-    resolution: int = 64          # grid cells per axis
+    # thin-film height-field cells per axis (2D grid); 128 puts the
+    # lateral sample density in the regime of the reference's Mantaflow
+    # LIQUID domain at res 256 (all_rendering.py:1782) for the melt
+    # films these sims produce
+    resolution: int = 128
     viscosity: float = 2e-3       # kinematic-ish ν (reference: 2e-3)
     substeps: int = 16            # solver substeps per frame
     dt: float = 1.0 / 24.0        # frame time

@@ -418,7 +418,7 @@ def smoke_fire_gaussians(
     temperature: jax.Array,
     origin: jax.Array,
     extent: float,
-    max_splats: int = 40_000,
+    max_splats: int | None = None,
     density_threshold: float = 0.02,
     smoke_color: float = 0.35,
     fire_temp_threshold: float = 0.4,
@@ -427,8 +427,14 @@ def smoke_fire_gaussians(
     single-pass renderer: smoke splats are gray absorbers blended in the
     merged depth-sorted pass; fire splats are emissive blackbody colors
     rendered separately and ADDED premultiplied (the compositor's fire
-    contract, blend_all.py:294-302).  Both have static capacity."""
+    contract, blend_all.py:294-302).  Both have static capacity.
+
+    ``max_splats`` defaults to a resolution-aware budget (40k at 48³,
+    scaling with the cell count's 2/3 power — plume occupancy is
+    surface-like): a fixed cap would undersample finer grids."""
     r = density.shape[0]
+    if max_splats is None:
+        max_splats = min(int(40_000 * (r / 48.0) ** 2), 160_000)
     cell = extent / r
     coords = _grid_coords(r).reshape(-1, 3)
     dens = density.reshape(-1)

@@ -68,11 +68,24 @@ def evaluate(
         val = lpips(np.asarray(img), np.asarray(gt)) if lpips_available() else None
         if val is not None:
             lp.append(val)
+    # LPIPS comparability guard: random-feature LPIPS (no VGG weights
+    # file) is a usable *relative* metric but NOT comparable to the
+    # reference's LPIPS(vgg) numbers (sugar/metrics.py:7-9).  It is
+    # published under a different key so downstream tables can never
+    # silently mix the two scales.
+    from autovfx_tpu.utils.lpips_jax import get_params
+
+    lp_source = get_params().source
+    lp_mean = float(np.mean(lp)) if lp else None
     result = {
         "num_eval_frames": len(idxs),
         "psnr": float(np.mean(psnrs)),
         "ssim": float(np.mean(ssims)),
-        "lpips": float(np.mean(lp)) if lp else None,
+        "lpips": lp_mean if lp_source == "file" else None,
+        "lpips_random_features": (
+            lp_mean if lp_source == "random" else None
+        ),
+        "lpips_source": lp_source,
         "per_frame_psnr": psnrs,
     }
     if out_json:

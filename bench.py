@@ -381,12 +381,12 @@ def _main_edit(g, cams, cfg, extras):
             frame_fn, shadow_scale=int(os.environ["BENCH_SHADOW_SCALE"])
         )
 
-    def make_build_run(inputs, **frame_kw):
+    def make_build_run(inputs, cfg_run=cfg, **frame_kw):
         def build_run(n):
             @jax.jit
             def run():
                 def frame(carry, i):
-                    f = frame_fn(inputs, i % FRAMES, cfg, **frame_kw)
+                    f = frame_fn(inputs, i % FRAMES, cfg_run, **frame_kw)
                     return carry + f.mean(), None
 
                 acc, _ = jax.lax.scan(
@@ -418,7 +418,7 @@ def _main_edit(g, cams, cfg, extras):
             from autovfx_tpu.render import liquid as LQ
             from autovfx_tpu.render import smoke as SMK
 
-            s_res = int(os.environ.get("BENCH_SMOKE_RES", 48))
+            s_res = int(os.environ.get("BENCH_SMOKE_RES", 96))
             s_cfg = SMK.SmokeConfig(
                 resolution=s_res, dt=1.0 / 15.0, with_fire=True,
                 dissolve_speed=30,
@@ -452,9 +452,19 @@ def _main_edit(g, cams, cfg, extras):
                 ),
                 melt=melt,
             )
+            # smoke splats at 96³ (resolution-aware cap ~160k) add real
+            # duplicates — give the merged pass headroom over the
+            # background-only auto budget
+            from autovfx_tpu.ops import binning as _binning
+
+            cfg_fx = cfg.replace(
+                dup_budget=_binning.round_budget(
+                    cfg.dup_budget + 400_000, slack=1.0
+                )
+            )
             dt_fx = _time_diff_scan(
-                make_build_run(inp_fx, smoke_cfg=s_cfg), FRAMES,
-                4 * FRAMES,
+                make_build_run(inp_fx, cfg_run=cfg_fx, smoke_cfg=s_cfg),
+                FRAMES, 4 * FRAMES,
             )
             extras["edit_effects_fps"] = round(1.0 / dt_fx, 2)
             extras["smoke_res"] = s_res

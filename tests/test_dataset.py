@@ -125,5 +125,13 @@ class TestMetrics:
         res = MET.evaluate(g, cams, gt, config=cfg, every_nth=1)
         assert res["psnr"] > 50  # identical render
         assert res["ssim"] > 0.99
-        # native JAX LPIPS is always on now; identical renders ≈ 0
-        assert res["lpips"] is not None and res["lpips"] < 1e-6
+        # native JAX LPIPS is always on; identical renders ≈ 0.  In
+        # this env (no VGG weights file) the value publishes under the
+        # random-features key so it can never be aggregated with real
+        # LPIPS(vgg) numbers; with AUTOVFX_LPIPS_WEIGHTS set it moves
+        # to the canonical "lpips" key.
+        key = (
+            "lpips" if res["lpips_source"] == "file"
+            else "lpips_random_features"
+        )
+        assert res[key] is not None and res[key] < 1e-6

@@ -225,3 +225,45 @@ class TestAnimatedAssetFilter:
         monkeypatch.setattr(W, "_sbert", lambda: None)
         out = W.retrieve_asset_from_objaverse("robot", is_animated=True)
         assert out["object_path"] == str(anim)
+
+
+class TestInpaintVariants:
+    """Alpha-mask panorama inpaint + SD-inpaint alternative
+    (inpaint_anything.py:50-96 / stable_diffusion_inpaint.py:13-35)."""
+
+    def test_alpha_mask_inpaint(self, tmp_path):
+        from PIL import Image
+
+        from autovfx_tpu.perception.wrappers import inpaint_img
+
+        rgba = np.full((64, 96, 4), 255, np.uint8)
+        rgba[..., 0] = 40
+        rgba[..., 1] = 180
+        rgba[20:36, 30:50, 3] = 0  # hole: low alpha
+        p = str(tmp_path / "pano.png")
+        Image.fromarray(rgba).save(p)
+        out_path = inpaint_img(p, dilate_kernel_size=4)
+        assert out_path.endswith("_inpaint.png")
+        out = np.asarray(Image.open(out_path))
+        # hole filled with surrounding color, not black
+        hole = out[24:32, 36:44]
+        assert abs(int(hole[..., 1].mean()) - 180) < 40
+        mask = np.asarray(Image.open(p[:-4] + "_mask.png"))
+        assert mask[28, 40] == 255 and mask[4, 4] == 0
+
+    def test_sd_fill_uses_cache_then_fallback(self, tmp_path, monkeypatch):
+        from PIL import Image
+
+        from autovfx_tpu.perception.wrappers import fill_img_with_sd
+
+        monkeypatch.delenv("AUTOVFX_ALLOW_HUB_DOWNLOAD", raising=False)
+        img = np.full((32, 32, 3), 90, np.uint8)
+        mask = np.zeros((32, 32), np.uint8)
+        mask[8:16, 8:16] = 255
+        cache = tmp_path / "sd.png"
+        Image.fromarray(np.full((32, 32, 3), 7, np.uint8)).save(cache)
+        out = fill_img_with_sd(img, mask, "a table", str(cache))
+        assert (out == 7).all()  # precomputed result consumed verbatim
+        out2 = fill_img_with_sd(img, mask, "a table", None)
+        assert out2.shape == (32, 32, 3)  # LaMa/cv2 contract fallback
+        assert abs(float(out2[10:14, 10:14].mean()) - 90) < 30

@@ -681,3 +681,74 @@ class TestPostprocessBoundMesh:
         bg = bind_to_mesh(m)
         out = postprocess_bound_mesh(bg, iterations=2)
         assert out.faces.shape[0] == bg.faces.shape[0]
+
+
+class TestDecimateAtScale:
+    """Reference-operating-point decimation (coarse_mesh.py:441-458
+    decimates Poisson output to 200k/1M verts).  A parametric torus
+    grid gives an exact distance-to-surface oracle."""
+
+    @staticmethod
+    def torus_grid(n_u, n_v, R=2.0, r=0.7):
+        u = np.linspace(0, 2 * np.pi, n_u, endpoint=False)
+        v = np.linspace(0, 2 * np.pi, n_v, endpoint=False)
+        uu, vv = np.meshgrid(u, v, indexing="ij")
+        verts = np.stack(
+            [
+                (R + r * np.cos(vv)) * np.cos(uu),
+                (R + r * np.cos(vv)) * np.sin(uu),
+                r * np.sin(vv),
+            ],
+            -1,
+        ).reshape(-1, 3)
+        i = np.arange(n_u)[:, None] * n_v + np.arange(n_v)[None, :]
+        i10 = np.roll(i, -1, 0)
+        i01 = np.roll(i, -1, 1)
+        i11 = np.roll(i10, -1, 1)
+        faces = np.concatenate(
+            [
+                np.stack([i, i10, i11], -1).reshape(-1, 3),
+                np.stack([i, i11, i01], -1).reshape(-1, 3),
+            ]
+        )
+        return verts, faces
+
+    @pytest.mark.slow
+    def test_quarter_million_verts(self):
+        from autovfx_tpu.sugar.decimate import decimate_quadric
+
+        v, f = self.torus_grid(500, 500)  # 250k verts
+        import time
+
+        t0 = time.time()
+        v2, f2 = decimate_quadric(v, f, 50_000)
+        dt = time.time() - t0
+        assert len(v2) <= 50_000
+        assert len(f2) > 50_000  # still a closed-ish surface
+        # decimated vertices stay on the torus (quadric placement)
+        d = np.abs(
+            np.sqrt(
+                (np.sqrt(v2[:, 0] ** 2 + v2[:, 1] ** 2) - 2.0) ** 2
+                + v2[:, 2] ** 2
+            )
+            - 0.7
+        )
+        assert float(np.quantile(d, 0.99)) < 5e-3
+        # single-core host budget: 1M->200k measured 113 s (PERF.md);
+        # 250k->50k must stay well under a minute
+        assert dt < 90.0
+
+    def test_components_at_scale(self):
+        from autovfx_tpu.sugar.decimate import remove_small_components
+
+        v, f = self.torus_grid(160, 160)  # 25.6k verts
+        # add a tiny disconnected blob
+        blob_v = np.array(
+            [[10, 10, 10], [10.1, 10, 10], [10, 10.1, 10]], np.float64
+        )
+        blob_f = np.array([[0, 1, 2]]) + len(v)
+        v_all = np.concatenate([v, blob_v])
+        f_all = np.concatenate([f, blob_f])
+        v2, f2 = remove_small_components(v_all, f_all)
+        assert len(v2) == len(v)
+        assert len(f2) == len(f)
