@@ -56,6 +56,15 @@ def _select_backend(backend: str) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "ref"
 
 
+def _pad_mode() -> str:
+    """Binning layout for the packed inference path: "none" (compact,
+    default) or "chunk" (padded; AUTOVFX_PAD_MODE=chunk — kept as a
+    measured A/B switch and safety valve)."""
+    import os
+
+    return os.environ.get("AUTOVFX_PAD_MODE", "none")
+
+
 def rasterize(
     g: Gaussians,
     cam: Camera,
@@ -119,16 +128,17 @@ feature packing through the fused Pallas kernel (inference fast path;
         else:
             feat_g = blend_pallas.pack_gaussian_features(splats)
 
+    compact = packed and _pad_mode() == "none"
     binned = binning.bin_splats(
         splats, cam.width, cam.height, config.dup_budget,
         tile=config.tile, chunk=config.chunk,
-        pad_mode="none" if packed else "chunk",
+        pad_mode="none" if compact else "chunk",
     )
     # (16/8/6, K) dup gather; a (K, R) row-major gather variant was
     # tried in r3 and is unbuildable: Mosaic requires lane-dim slices
     # aligned to the 128-lane tiling, so the (K, 8) layout pads 16x
     gid = binned.gid
-    if packed:
+    if compact:
         # compact segments: the kernel's floor-aligned final DMA can
         # read up to chunk-1 slots past the last segment — append one
         # inert dummy chunk (dummy column = last feat column)
@@ -145,7 +155,7 @@ feature packing through the fused Pallas kernel (inference fast path;
             out_rows = blend_pallas._blend_fwd_call(
                 feat_dup, binned.tile_start, binned.tile_chunks,
                 n_tiles, tx, config.tile, config.chunk,
-                tile_count=binned.tile_count,
+                tile_count=binned.tile_count if compact else None,
             )
         else:
             out_rows = blend_pallas._blend_core(
@@ -210,20 +220,24 @@ def rasterize_rows(
         feat_rows=6 if config.feature_pack == "bf16x" else 8,
     )
     splats, feat_g = ps.splats, ps.feat
+    compact = _pad_mode() == "none"
     binned = binning.bin_splats(
         splats, cam.width, cam.height, config.dup_budget,
-        tile=config.tile, chunk=config.chunk, pad_mode="none",
+        tile=config.tile, chunk=config.chunk,
+        pad_mode="none" if compact else "chunk",
     )
-    gid = jnp.concatenate(
-        [binned.gid,
-         jnp.full((config.chunk,), feat_g.shape[1] - 1, jnp.int32)]
-    )
+    gid = binned.gid
+    if compact:
+        gid = jnp.concatenate(
+            [gid,
+             jnp.full((config.chunk,), feat_g.shape[1] - 1, jnp.int32)]
+        )
     feat_dup = feat_g[:, gid]
     tx, ty = binned.num_tiles_x, binned.num_tiles_y
     out_rows = blend_pallas._blend_fwd_call(
         feat_dup, binned.tile_start, binned.tile_chunks,
         tx * ty, tx, config.tile, config.chunk,
-        tile_count=binned.tile_count,
+        tile_count=binned.tile_count if compact else None,
     )
     rows = blend_ref.assemble_rows(
         out_rows, tx, ty, cam.width, cam.height, tile=config.tile
@@ -284,20 +298,24 @@ def rasterize_rows_multi(
         lambda *xs: jnp.concatenate(xs, axis=0),
         *[p.splats for p in parts],
     )
+    compact = _pad_mode() == "none"
     binned = binning.bin_splats(
         splats, cam.width, cam.height, config.dup_budget,
-        tile=config.tile, chunk=config.chunk, pad_mode="none",
+        tile=config.tile, chunk=config.chunk,
+        pad_mode="none" if compact else "chunk",
     )
-    gid = jnp.concatenate(
-        [binned.gid,
-         jnp.full((config.chunk,), feat_g.shape[1] - 1, jnp.int32)]
-    )
+    gid = binned.gid
+    if compact:
+        gid = jnp.concatenate(
+            [gid,
+             jnp.full((config.chunk,), feat_g.shape[1] - 1, jnp.int32)]
+        )
     feat_dup = feat_g[:, gid]
     tx, ty = binned.num_tiles_x, binned.num_tiles_y
     out_rows = blend_pallas._blend_fwd_call(
         feat_dup, binned.tile_start, binned.tile_chunks,
         tx * ty, tx, config.tile, config.chunk,
-        tile_count=binned.tile_count,
+        tile_count=binned.tile_count if compact else None,
     )
     rows = blend_ref.assemble_rows(
         out_rows, tx, ty, cam.width, cam.height, tile=config.tile

@@ -103,7 +103,8 @@ def sun_direction(env: jax.Array) -> jax.Array:
 
 
 def importance_directions(
-    env: np.ndarray, num: int, seed: int = 0
+    env: np.ndarray, num: int, seed: int = 0,
+    up: np.ndarray | None = None, stratified: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Host-side: luminance-importance-sampled light directions + weights.
 
@@ -111,22 +112,50 @@ def importance_directions(
     integral with ``num`` rays.  Returns (dirs (num,3), radiance-weighted
     contributions (num,3) such that Σ contributions ≈ hemisphere-less
     full-sphere integral of env).
+
+    With ``up`` (the scene up axis, +z after up-alignment): the sampling
+    density AND the returned contributions carry the diffuse-catcher
+    cosine factor max(dir·up, 0) — the shadow estimator
+    Σ w·vis / Σ w then approximates the *Cycles white-catcher* ratio
+    ∫L·vis·cosθ⁺ / ∫L·cosθ⁺ (rgb_shadow/rgb_all of the reference's
+    5-pass loop; f64 dense-integration oracle in
+    tests/test_shadow_oracle.py).  Σ contributions ≈ ∫L·cosθ⁺ dω (= πL
+    for a constant env).  ``stratified`` replaces iid categorical draws
+    with systematic (inverse-CDF) resampling — same estimator, lower
+    variance at small ``num``.
     """
     env = np.asarray(env, np.float32)
     h, w, _ = env.shape
     v = (np.arange(h) + 0.5) / h
     sin_theta = np.sin(v * np.pi)[:, None]
-    lum = env.sum(-1) * sin_theta  # solid-angle weighted
-    p = lum.reshape(-1) / lum.sum()
+    dens = env.sum(-1) * sin_theta  # solid-angle weighted luminance
+    if up is not None:
+        uu, vv = np.meshgrid((np.arange(w) + 0.5) / w, v)
+        tex_dirs = np.asarray(
+            uv_to_direction(jnp.asarray(np.stack([uu, vv], -1),
+                                        jnp.float32))
+        ).astype(np.float64)
+        cos_up = np.maximum(tex_dirs @ np.asarray(up, np.float64), 0.0)
+        dens = dens * cos_up.astype(np.float32)
+    p = dens.reshape(-1) / dens.sum()
     rng = np.random.RandomState(seed)
-    idx = rng.choice(len(p), size=num, p=p)
+    if stratified:
+        cdf = np.cumsum(p)
+        u = (np.arange(num) + rng.rand(num)) / num
+        idx = np.minimum(np.searchsorted(cdf, u), len(p) - 1)
+    else:
+        idx = rng.choice(len(p), size=num, p=p)
     ys, xs = idx // w, idx % w
     uv = np.stack([(xs + 0.5) / w, (ys + 0.5) / h], -1)
     dirs = np.asarray(uv_to_direction(jnp.asarray(uv)))
-    # each sample's contribution: L / pdf / num, pdf in solid-angle terms
+    # each sample's contribution: f / pdf / num, pdf in solid-angle
+    # terms; f = L (or L·cosθ⁺ when ``up`` folds the catcher cosine)
     d_omega = (2 * np.pi / w) * (np.pi / h) * sin_theta.reshape(-1)[ys]
     pdf = p[idx] / np.maximum(d_omega, 1e-9)
-    contrib = env.reshape(-1, 3)[idx] / np.maximum(pdf[:, None], 1e-9) / num
+    f = env.reshape(-1, 3)[idx]
+    if up is not None:
+        f = f * np.maximum(dirs @ np.asarray(up, np.float64), 0.0)[:, None]
+    contrib = f / np.maximum(pdf[:, None], 1e-9) / num
     return dirs.astype(np.float32), contrib.astype(np.float32)
 
 

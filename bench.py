@@ -113,10 +113,12 @@ def _auto_budget(g, cams, cfg):
     from autovfx_tpu.ops import binning, projection
 
     # the packed/pallas inference path bins with pad_mode="none" —
-    # no per-tile pad slots enter the budget
+    # no per-tile pad slots enter the budget (AUTOVFX_PAD_MODE=chunk
+    # forces the padded layout for A/B runs)
     packed = cfg.backend == "pallas" and cfg.feature_pack in (
         "bf16", "bf16x"
     )
+    compact = packed and os.environ.get("AUTOVFX_PAD_MODE", "none") == "none"
 
     @jax.jit
     def padded_count(g, i):
@@ -124,7 +126,7 @@ def _auto_budget(g, cams, cfg):
         s = projection.preprocess(g, cam, tile=cfg.tile)
         return binning.required_budget(
             s, WIDTH, HEIGHT, tile=cfg.tile, chunk=cfg.chunk,
-            pad_mode="none" if packed else "chunk",
+            pad_mode="none" if compact else "chunk",
         )
 
     worst = max(int(_paced(padded_count, g, i)) for i in range(FRAMES))
