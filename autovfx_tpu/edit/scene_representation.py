@@ -1166,7 +1166,7 @@ class SceneRepresentation:
         cam = C.index_camera(self.cameras, frame_idx)
         dirs, contrib = REnv.importance_directions(
             np.asarray(self._env), self.hparams.light_samples,
-            up=np.array([0.0, 0.0, 1.0]), stratified=True,
+            up=np.array([0.0, 0.0, 1.0]), stratified=True, dedup=True,
         )
         weights = contrib.sum(-1)
         # hull planes at this frame's pose (segment-aware: break edits

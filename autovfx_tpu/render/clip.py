@@ -138,7 +138,8 @@ def build_clip_inputs(
     # white-catcher quotient — see importance_directions / the f64
     # oracle in tests/test_shadow_oracle.py
     dirs, contrib = importance_directions(
-        env, num_lights, up=np.array([0.0, 0.0, 1.0]), stratified=True
+        env, num_lights, up=np.array([0.0, 0.0, 1.0]), stratified=True,
+        dedup=True,
     )
     hull_planes, hull_mask = RSH.trim_hull_planes(
         hull_shape.planes, hull_shape.plane_mask

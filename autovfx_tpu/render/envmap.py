@@ -105,6 +105,7 @@ def sun_direction(env: jax.Array) -> jax.Array:
 def importance_directions(
     env: np.ndarray, num: int, seed: int = 0,
     up: np.ndarray | None = None, stratified: bool = False,
+    dedup: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Host-side: luminance-importance-sampled light directions + weights.
 
@@ -122,7 +123,11 @@ def importance_directions(
     tests/test_shadow_oracle.py).  Σ contributions ≈ ∫L·cosθ⁺ dω (= πL
     for a constant env).  ``stratified`` replaces iid categorical draws
     with systematic (inverse-CDF) resampling — same estimator, lower
-    variance at small ``num``.
+    variance at small ``num``.  ``dedup`` merges samples landing on the
+    same texel (weights add): numerically the SAME estimator, but the
+    returned arrays shrink to the unique-direction count — shadow-ray
+    cost is linear in it (a sun-dominated env draws the sun texel many
+    times).
     """
     env = np.asarray(env, np.float32)
     h, w, _ = env.shape
@@ -145,6 +150,10 @@ def importance_directions(
         idx = np.minimum(np.searchsorted(cdf, u), len(p) - 1)
     else:
         idx = rng.choice(len(p), size=num, p=p)
+    if dedup:
+        idx, mult = np.unique(idx, return_counts=True)
+    else:
+        mult = np.ones(len(idx))
     ys, xs = idx // w, idx % w
     uv = np.stack([(xs + 0.5) / w, (ys + 0.5) / h], -1)
     dirs = np.asarray(uv_to_direction(jnp.asarray(uv)))
@@ -155,7 +164,7 @@ def importance_directions(
     f = env.reshape(-1, 3)[idx]
     if up is not None:
         f = f * np.maximum(dirs @ np.asarray(up, np.float64), 0.0)[:, None]
-    contrib = f / np.maximum(pdf[:, None], 1e-9) / num
+    contrib = f * mult[:, None] / np.maximum(pdf[:, None], 1e-9) / num
     return dirs.astype(np.float32), contrib.astype(np.float32)
 
 
