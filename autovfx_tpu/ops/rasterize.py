@@ -57,12 +57,18 @@ def _select_backend(backend: str) -> str:
 
 
 def _pad_mode() -> str:
-    """Binning layout for the packed inference path: "none" (compact,
-    default) or "chunk" (padded; AUTOVFX_PAD_MODE=chunk — kept as a
-    measured A/B switch and safety valve)."""
+    """Binning layout for the packed inference path: "chunk" (padded,
+    default) or "none" (pad-free compact; AUTOVFX_PAD_MODE=none).
+
+    Measured on-chip (r5, healthy-device A/B at the Garden operating
+    point): padded 44.11 FPS vs compact 39.99 novel view — compact wins
+    every isolated stage (binning -1.3 ms, gather -7%) but loses ~2.3 ms
+    end-to-end (edge-mask chunks + the K+chunk concat copies + scheduler
+    overlap the padded path gets for free), so padded stays the default
+    and compact remains the measured alternative."""
     import os
 
-    return os.environ.get("AUTOVFX_PAD_MODE", "none")
+    return os.environ.get("AUTOVFX_PAD_MODE", "chunk")
 
 
 def rasterize(

@@ -32,6 +32,10 @@ os.environ.setdefault("BENCH_HEIGHT", "840")
 
 import jax
 
+# the axon TPU plugin ignores the JAX_PLATFORMS env var — honor it here
+# so a CPU smoke run cannot silently land on the tunneled chip
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
@@ -112,13 +116,12 @@ def _auto_budget(g, cams, cfg):
     from autovfx_tpu.core import cameras as C
     from autovfx_tpu.ops import binning, projection
 
-    # the packed/pallas inference path bins with pad_mode="none" —
-    # no per-tile pad slots enter the budget (AUTOVFX_PAD_MODE=chunk
-    # forces the padded layout for A/B runs)
+    # padded chunk layout is the measured default (44.1 vs 40.0 FPS);
+    # AUTOVFX_PAD_MODE=none selects the pad-free compact layout
     packed = cfg.backend == "pallas" and cfg.feature_pack in (
         "bf16", "bf16x"
     )
-    compact = packed and os.environ.get("AUTOVFX_PAD_MODE", "none") == "none"
+    compact = packed and os.environ.get("AUTOVFX_PAD_MODE", "chunk") == "none"
 
     @jax.jit
     def padded_count(g, i):
@@ -293,12 +296,14 @@ def _main_guarded():
             rows = jax.jit(PP.pack_scene_rows)(g)
 
         def build_run(n):
+            # scene arrays ride as jit arguments (see make_build_run:
+            # closure captures embed in the remote-compile HLO body)
             @jax.jit
-            def run():
+            def run_inp(g_, rows_):
                 def frame(carry, i):
                     cam = C.index_camera(cams, i % FRAMES)
                     out = rasterize(
-                        g, cam, bg=bg, config=cfg, packed_rows=rows
+                        g_, cam, bg=bg, config=cfg, packed_rows=rows_
                     )
                     return carry + out.color.mean(), out.overflow
 
@@ -307,7 +312,7 @@ def _main_guarded():
                 )
                 return acc + 0.0 * ovf.any()
 
-            return run
+            return lambda: run_inp(g, rows)
 
         dt = _time_diff_scan(build_run, FRAMES, 4 * FRAMES)
         view_fps = 1.0 / dt
@@ -385,10 +390,14 @@ def _main_edit(g, cams, cfg, extras):
 
     def make_build_run(inputs, cfg_run=cfg, **frame_kw):
         def build_run(n):
+            # the clip inputs must be jit ARGUMENTS, not closure
+            # captures: captured arrays embed in the serialized HLO and
+            # the axon remote-compile endpoint rejects the request body
+            # over ~100 MB (HTTP 413) once the smoke volume is aboard
             @jax.jit
-            def run():
+            def run_inp(inputs_):
                 def frame(carry, i):
-                    f = frame_fn(inputs, i % FRAMES, cfg_run, **frame_kw)
+                    f = frame_fn(inputs_, i % FRAMES, cfg_run, **frame_kw)
                     return carry + f.mean(), None
 
                 acc, _ = jax.lax.scan(
@@ -396,7 +405,7 @@ def _main_edit(g, cams, cfg, extras):
                 )
                 return acc
 
-            return run
+            return lambda: run_inp(inputs)
 
         return build_run
 
